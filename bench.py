@@ -1,0 +1,186 @@
+"""Benchmark harness — produces the numbers the reference never recorded
+(BASELINE.md): per-decoder-layer latency and end-to-end decode tokens/s/chip,
+fused megakernel vs unfused XLA baseline, Llama-2-7B geometry, bs=1, 1K ctx
+(the `chat/chat.py` workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+``vs_baseline`` is the fused/unfused tokens-per-second ratio measured in the
+same run — the reference's own figure of merit (fused vs
+`USE_CLUSTER_FUSION=false`, `scripts/llama2*.sh`).
+
+Timing methodology: the decode loop runs entirely on device
+(``model.decode_loop``) and timings are closed by fetching results to the
+host — plain ``block_until_ready`` does not reliably wait on tunneled TPU
+backends, and per-token host dispatch would measure relay latency instead of
+device throughput.
+
+Env knobs: BENCH_LAYERS (default 32), BENCH_GEN (default 512 tokens),
+BENCH_SMALL=1 → tiny geometry smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fetch(x):
+    """Force real completion (device_get can't be faked)."""
+    return np.asarray(jax.device_get(x))
+
+
+def _time_decode(params, cfg, n_gen: int, fused: bool) -> float:
+    """Tokens/s for an on-device greedy decode of n_gen tokens."""
+    from clusterfusion_tpu.models import llama as model
+
+    k_cache, v_cache = model.init_cache(cfg)
+    prompt = jnp.arange(16, dtype=jnp.int32) % 100
+    logits, k_cache, v_cache = model.prefill(params, k_cache, v_cache,
+                                             prompt, cfg)
+    tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+    pos0 = jnp.asarray(prompt.shape[0], jnp.int32)
+
+    # Differential timing: time n and 2n token loops and use the delta, so
+    # the (large, variable) host<->device relay roundtrip cancels.
+    state = {"tok": tok, "pos": 16, "kc": k_cache, "vc": v_cache}
+
+    def run(n):
+        t0 = time.perf_counter()
+        toks, kc, vc = model.decode_loop(
+            params, state["kc"], state["vc"], state["tok"],
+            jnp.asarray(state["pos"], jnp.int32), cfg, fused=fused, n_steps=n)
+        _fetch(toks[-1])
+        state.update(tok=toks[-1], pos=state["pos"] + n, kc=kc, vc=vc)
+        return time.perf_counter() - t0
+
+    n1 = max(n_gen // 4, 8)
+    run(n1), run(2 * n1)                       # compile both lengths
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(2 * n1) for _ in range(3))
+    return n1 / max(t2 - t1, 1e-4)
+
+
+def _time_layer(cfg, seq: int, reps: int = 256):
+    """Single fused decoder-layer latency (µs), plus the jitted fp32-oracle
+    (unfused XLA) layer.  Chained on device with a data dependency so the
+    compiler cannot hoist, closed by a host fetch."""
+    from clusterfusion_tpu.config import KernelConfig
+    from clusterfusion_tpu.ops._support import interpret_mode
+    from clusterfusion_tpu.ops.decoder_layer import (
+        _fused_decoder_layer, _pick_head_group, fuse_qkv_o_for_kernel)
+    from clusterfusion_tpu.ops import reference as ref
+
+    kv, g, hd, h = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_, \
+        cfg.hidden_dim
+    kcfg = KernelConfig()
+    hg = _pick_head_group(kv, kcfg.head_group)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    bf = jnp.bfloat16
+    x = jax.random.normal(ks[0], (1, h), bf)
+    res = jax.random.normal(ks[1], (1, h), bf)
+    wqkv_ph = jax.random.normal(ks[2], (kv, h, (g + 2) * hd), bf) * 0.02
+    wo_ph = jax.random.normal(ks[3], (kv, g * hd, h), bf) * 0.02
+    wqkv_g, wo_g = fuse_qkv_o_for_kernel(wqkv_ph, wo_ph, kv, g, hd, hg)
+    kc = jax.random.normal(ks[4], (1, kv, seq, hd), bf)
+    vc = jax.random.normal(ks[5], (1, kv, seq, hd), bf)
+    rms_w = jnp.ones((1, h), bf)
+    cos = jnp.ones((1, hd), jnp.float32)
+    sin = jnp.zeros((1, hd), jnp.float32)
+
+    def chain(step_fn):
+        def make(n):
+            @jax.jit
+            def run(x0):
+                def body(c, _):
+                    xd = x0 * (1.0 + c * 1e-30)
+                    out = step_fn(xd)
+                    return jnp.sum(out.astype(jnp.float32)) * 1e-30, ()
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return c
+            return run
+
+        def timed(run):
+            _fetch(run(x))                   # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _fetch(run(x))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(make(reps))
+        t2 = timed(make(2 * reps))
+        return max(t2 - t1, 1e-7) / reps * 1e6
+
+    def fused_step(xd):
+        out, _, _, _ = _fused_decoder_layer(
+            xd, res, rms_w, cos, sin, wqkv_g, wo_g, kc, vc, seq - 1, 0,
+            group=g, head_dim=hd, rope_style="neox", fuse_residual=True,
+            eps=1e-5, kcfg=kcfg, interpret=interpret_mode())
+        return out
+
+    # unfused baseline: same math via stock XLA ops (reference-parity layout)
+    w_qkv = jax.random.normal(ks[6], (3 * h, h), bf) * 0.02
+    w_o = jax.random.normal(ks[7], (h, h), bf) * 0.02
+    kc2 = kc[0].transpose(1, 0, 2).reshape(seq, h)
+    vc2 = vc[0].transpose(1, 0, 2).reshape(seq, h)
+    cos_h = jnp.ones((hd // 2,), jnp.float32)
+    sin_h = jnp.zeros((hd // 2,), jnp.float32)
+
+    def eager_step(xd):
+        out, _, _, _ = ref.llama_decoder_layer_sglang_ref(
+            xd, res, w_qkv, w_o, kc2, vc2, rms_w[0], 1e-5, cos_h, sin_h,
+            n_heads=cfg.n_heads, head_dim=hd)
+        return out
+
+    return chain(fused_step), chain(eager_step)
+
+
+def main():
+    from clusterfusion_tpu.config import LlamaConfig
+    from clusterfusion_tpu.models import llama as model
+
+    small = os.getenv("BENCH_SMALL", "0") == "1"
+    n_layers = int(os.getenv("BENCH_LAYERS", "4" if small else "32"))
+    n_gen = int(os.getenv("BENCH_GEN", "64" if small else "512"))
+
+    if small:
+        cfg = LlamaConfig.tiny(max_seq_len=256)
+    else:
+        cfg = LlamaConfig(hidden_dim=4096, n_heads=32, ffn_dim=11008,
+                          n_layers=n_layers, vocab_size=32000,
+                          max_seq_len=1024)
+
+    params = model.init_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    layer_fused_us, layer_eager_us = _time_layer(
+        cfg, seq=1024 if not small else 256, reps=64 if small else 256)
+    tps_fused = _time_decode(params, cfg, n_gen, fused=True)
+    tps_eager = _time_decode(params, cfg, n_gen, fused=False)
+
+    print(json.dumps({
+        "metric": "decode_tokens_per_s_per_chip",
+        "value": round(tps_fused, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps_fused / tps_eager, 3),
+        "config": (f"hidden={cfg.hidden_dim} heads={cfg.n_heads} "
+                   f"L={cfg.n_layers} bs=1 ctx={cfg.max_seq_len} bf16"),
+        "eager_tokens_per_s": round(tps_eager, 2),
+        "layer_fused_us": round(layer_fused_us, 1),
+        "layer_eager_us": round(layer_eager_us, 1),
+        "layer_speedup": round(layer_eager_us / layer_fused_us, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

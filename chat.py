@@ -1,0 +1,62 @@
+"""Streaming chat CLI — twin of the reference harness (`chat/chat.py`):
+loads a model, streams a completion, prints total time and tokens/sec.
+
+Usage:
+    python chat.py --ckpt_dir <meta-or-hf dir> --tokenizer_path <spm.model|dir>
+    python chat.py --synthetic          # random tiny model, byte tokenizer
+    USE_CLUSTER_FUSION=false python chat.py ...   # eager baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", type=str, default=None)
+    ap.add_argument("--tokenizer_path", type=str, default=None)
+    ap.add_argument("--prompt", type=str,
+                    default="Tell me the story about computer science.")
+    ap.add_argument("--temperature", type=float, default=0.6)
+    ap.add_argument("--top_p", type=float, default=0.9)
+    ap.add_argument("--max_seq_len", type=int, default=1024)
+    ap.add_argument("--max_gen_len", type=int, default=512)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="random weights + byte tokenizer (no checkpoint)")
+    ap.add_argument("--eager", action="store_true",
+                    help="disable the fused megakernel path")
+    args = ap.parse_args()
+
+    from clusterfusion_tpu.config import LlamaConfig
+    from clusterfusion_tpu.models.generation import Llama
+
+    fused = not args.eager
+    if args.synthetic:
+        cfg = LlamaConfig.tiny(max_seq_len=args.max_seq_len)
+        gen = Llama.synthetic(cfg, fused=fused)
+    else:
+        assert args.ckpt_dir and args.tokenizer_path, \
+            "--ckpt_dir/--tokenizer_path required (or --synthetic)"
+        gen = Llama.build(args.ckpt_dir, args.tokenizer_path,
+                          max_seq_len=args.max_seq_len, fused=fused)
+
+    toks = gen.tokenizer.encode(args.prompt, bos=True, eos=False)
+    print(f"[prompt: {len(toks)} tokens | fused={gen.fused}]")
+    t0 = time.perf_counter()
+    n = 0
+    pieces = []
+    for t in gen.stream_generate(toks, args.max_gen_len, args.temperature,
+                                 args.top_p):
+        n += 1
+        pieces.append(t)
+        sys.stdout.write(gen.tokenizer.decode([t]))
+        sys.stdout.flush()
+    dt = time.perf_counter() - t0
+    print(f"\n\n[{n} tokens in {dt:.2f}s -> {n / dt:.2f} tokens/sec]")
+
+
+if __name__ == "__main__":
+    main()

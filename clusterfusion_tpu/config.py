@@ -1,0 +1,144 @@
+"""Configuration dataclasses.
+
+The reference scatters configuration across compile-time macros
+(`include/H100/llama/config.h`, `include/H100/deepseek/config.h`,
+`include/H100/norm/config.h`), an env var (`USE_CLUSTER_FUSION`,
+`chat/llama/model.py:273`), and CLI flags (`chat/chat.py:8-16`) — and needs a
+recompile to change model geometry.  Here everything is a runtime dataclass:
+model geometry drives the Pallas grid, kernel tiling knobs are tunable per
+TPU generation, and the mesh config drives `jax.sharding`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Llama-family model geometry (≈ reference `config.h:2-5` + ModelArgs,
+    `chat/llama/model.py:22-34`)."""
+
+    hidden_dim: int = 4096
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = None  # GQA; None → MHA (= n_heads)
+    head_dim: Optional[int] = None
+    ffn_dim: int = 11008              # SwiGLU intermediate size
+    n_layers: int = 32
+    vocab_size: int = 32000
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 2048
+    # "neox" (rotate-half, sglang kernels) or "gptj" (interleaved, meta llama)
+    rope_style: str = "gptj"
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_dim // self.n_heads
+
+    @property
+    def qkv_dim(self) -> int:
+        return (self.n_heads + 2 * self.kv_heads) * self.head_dim_
+
+    @staticmethod
+    def llama2_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama2_13b() -> "LlamaConfig":
+        return LlamaConfig(hidden_dim=5120, n_heads=40, ffn_dim=13824, n_layers=40)
+
+    @staticmethod
+    def llama2_70b() -> "LlamaConfig":
+        return LlamaConfig(hidden_dim=8192, n_heads=64, n_kv_heads=8,
+                           ffn_dim=28672, n_layers=80)
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """Small geometry for tests — still tile-aligned (head_dim 128)."""
+        defaults = dict(hidden_dim=512, n_heads=4, ffn_dim=1024, n_layers=2,
+                        vocab_size=384, max_seq_len=256)
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSeekConfig:
+    """DeepSeek-V2(-lite) MLA geometry (≈ reference `deepseek/config.h:1-8`).
+
+    Unlike the reference, seq len is a runtime quantity, not a compile-time
+    macro (`deepseek/config.h:9` hardcodes SEQ_LEN 4096)."""
+
+    hidden_dim: int = 2048
+    n_heads: int = 16
+    nope_head_dim: int = 128
+    rope_head_dim: int = 64
+    kv_lora_rank: int = 512
+    norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.nope_head_dim + self.rope_head_dim
+
+    @property
+    def mla_head_dim(self) -> int:
+        return self.kv_lora_rank + self.rope_head_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Tiling knobs for the Pallas megakernels — the TPU analogue of the
+    reference's `TMA_LOAD_ONCE` / `CLUSTER_SIZE` macros (`config.h:8-21`),
+    but runtime parameters feeding grid construction and jit cache keys
+    (the generalization the reference's TileLang port gestures at,
+    `tilelang_llama.py:165`)."""
+
+    # Rows of KV processed per flash-decode grid step.
+    kv_chunk: int = 512
+    # KV heads projected per grid step.  M=1 GEMVs are MXU-pipeline-bound on
+    # TPU, so the QKV dot must be N-wide (N = head_group·(group+2)·head_dim)
+    # to reach HBM speed-of-light; 8 heads → N=3072 for llama-7B.
+    head_group: int = 8
+    # Output-column tile for streamed weight matmuls.
+    weight_tile: int = 512
+    # Upper bound on VMEM the compiler may use for one kernel (bytes).
+    vmem_limit_bytes: int = 100 * 1024 * 1024
+
+    def key(self) -> Tuple:
+        return (self.kv_chunk, self.head_group, self.weight_tile)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape for multi-chip execution.
+
+    Axes: dp (data/batch), tp (tensor: heads + hidden), sp (sequence/KV).
+    The reference's only cross-device parallelism is fairscale TP on the
+    *unfused* path (`chat/llama/generation.py:86-89`); here sharding is
+    first-class for both paths.
+    """
+
+    dp: int = 1
+    tp: int = 1
+    sp: int = 1
+
+    @property
+    def shape(self):
+        return {"dp": self.dp, "tp": self.tp, "sp": self.sp}
+
+    @property
+    def n_devices(self) -> int:
+        return self.dp * self.tp * self.sp

@@ -1,0 +1,196 @@
+"""Generation engine — twin of the reference `Llama` class
+(`chat/llama/generation.py`): build / generate / stream_generate /
+text_completion / chat_completion with top-p sampling and llama-2 [INST]
+dialog templating.
+
+Differences: no process groups to initialize (sharding is declarative; see
+``clusterfusion_tpu.parallel``), caches are functional values threaded
+through a jitted decode step, and the fused-vs-eager switch is an argument
+instead of the ``USE_CLUSTER_FUSION`` env var (`model.py:273`) — though the
+env var is honored for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Generator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clusterfusion_tpu.config import KernelConfig, LlamaConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.models.sampling import sample
+from clusterfusion_tpu.models.tokenizer import load_tokenizer
+
+# llama-2 chat templating tokens (`generation.py:331-344`)
+B_INST, E_INST = "[INST]", "[/INST]"
+B_SYS, E_SYS = "<<SYS>>\n", "\n<</SYS>>\n\n"
+
+
+@dataclasses.dataclass
+class GenStats:
+    prompt_tokens: int = 0
+    gen_tokens: int = 0
+    total_s: float = 0.0
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.gen_tokens / self.total_s if self.total_s else 0.0
+
+
+class Llama:
+    """Decode engine around the functional model."""
+
+    def __init__(self, params, cfg: LlamaConfig, tokenizer,
+                 kcfg: KernelConfig = KernelConfig(),
+                 fused: Optional[bool] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.kcfg = kcfg
+        if fused is None:
+            fused = os.getenv("USE_CLUSTER_FUSION", "true").lower() == "true"
+        self.fused = fused
+        self.stats = GenStats()
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def build(ckpt_dir: str, tokenizer_path: str, max_seq_len: int = 2048,
+              max_batch_size: int = 1, fused: Optional[bool] = None,
+              dtype=jnp.bfloat16) -> "Llama":
+        """Mirror of `Llama.build` (`generation.py:52-127`); max_batch_size
+        kept for signature parity (single-seq fused decode is bs=1, like the
+        reference kernel)."""
+        from clusterfusion_tpu.models.checkpoint import load_checkpoint
+        params, cfg = load_checkpoint(ckpt_dir, max_seq_len, dtype)
+        tokenizer = load_tokenizer(tokenizer_path)
+        return Llama(params, cfg, tokenizer, fused=fused)
+
+    @staticmethod
+    def synthetic(cfg: LlamaConfig, seed: int = 0, fused: Optional[bool] = None
+                  ) -> "Llama":
+        """Random-weight engine with a byte tokenizer — hermetic e2e testing
+        and benchmarking without a checkpoint."""
+        params = model.init_params(cfg, jax.random.PRNGKey(seed))
+        return Llama(params, cfg, load_tokenizer("bytes"), fused=fused)
+
+    # -- core loops -----------------------------------------------------------
+
+    def _decode_one(self, k_cache, v_cache, token, pos):
+        # donating variant: cache appends are in-place on device
+        return model.decode_step_donated(self.params, k_cache, v_cache,
+                                         token, pos, self.cfg, self.kcfg,
+                                         self.fused)
+
+    def stream_generate(self, prompt_tokens: Sequence[int],
+                        max_gen_len: int, temperature: float = 0.6,
+                        top_p: float = 0.9, seed: int = 0,
+                        echo: bool = False) -> Generator[int, None, None]:
+        """Yield tokens one at a time (`generation.py:233-271`)."""
+        cfg = self.cfg
+        toks = list(prompt_tokens)
+        assert len(toks) + max_gen_len <= cfg.max_seq_len, "exceeds max_seq_len"
+        k_cache, v_cache = model.init_cache(cfg)
+
+        t0 = time.perf_counter()
+        logits, k_cache, v_cache = model.prefill(
+            self.params, k_cache, v_cache, jnp.asarray(toks, jnp.int32), cfg)
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        tok = sample(sub, logits[-1], temperature, top_p)
+
+        if echo:
+            yield from toks
+        pos = len(toks)
+        n_gen = 0
+        for _ in range(max_gen_len):
+            t = int(tok)
+            yield t
+            n_gen += 1
+            if t == self.tokenizer.eos_id:
+                break
+            logits, k_cache, v_cache = self._decode_one(
+                k_cache, v_cache, jnp.asarray(t, jnp.int32),
+                jnp.asarray(pos, jnp.int32))
+            key, sub = jax.random.split(key)
+            tok = sample(sub, logits, temperature, top_p)
+            pos += 1
+        self.stats = GenStats(len(toks), n_gen, time.perf_counter() - t0)
+
+    def generate(self, prompt_tokens: Sequence[Sequence[int]],
+                 max_gen_len: int, temperature: float = 0.6,
+                 top_p: float = 0.9, seed: int = 0,
+                 echo: bool = False) -> List[List[int]]:
+        """Batch API (`generation.py:129-231`): sequences decoded one at a
+        time through the bs=1 fused path (batched paged decode is the
+        ``llama_decoder_layer_batch_decode_sglang`` op's job)."""
+        out = []
+        for i, toks in enumerate(prompt_tokens):
+            gen = list(self.stream_generate(toks, max_gen_len, temperature,
+                                            top_p, seed + i, echo))
+            out.append(gen)
+        return out
+
+    # -- prompt APIs ----------------------------------------------------------
+
+    def text_completion(self, prompts: List[str], temperature: float = 0.6,
+                        top_p: float = 0.9, max_gen_len: Optional[int] = None,
+                        echo: bool = False) -> List[dict]:
+        """`generation.py:274-323`."""
+        if max_gen_len is None:
+            max_gen_len = self.cfg.max_seq_len - 1
+        results = []
+        for p in prompts:
+            toks = self.tokenizer.encode(p, bos=True, eos=False)
+            max_len = min(max_gen_len, self.cfg.max_seq_len - len(toks))
+            gen = list(self.stream_generate(toks, max_len, temperature, top_p,
+                                            echo=echo))
+            results.append({"generation": self.tokenizer.decode(gen)})
+        return results
+
+    def chat_completion(self, dialogs: List[List[dict]],
+                        temperature: float = 0.6, top_p: float = 0.9,
+                        max_gen_len: Optional[int] = None) -> List[dict]:
+        """llama-2 [INST] chat templating (`generation.py:325-436`)."""
+        if max_gen_len is None:
+            max_gen_len = self.cfg.max_seq_len - 1
+        results = []
+        for dialog in dialogs:
+            toks = self._encode_dialog(dialog)
+            max_len = min(max_gen_len, self.cfg.max_seq_len - len(toks))
+            gen = list(self.stream_generate(toks, max_len, temperature, top_p))
+            results.append({"generation": {
+                "role": "assistant",
+                "content": self.tokenizer.decode(gen)}})
+        return results
+
+    def _encode_dialog(self, dialog: List[dict]) -> List[int]:
+        """`generation.py:352-402`: fold an optional system prompt into the
+        first user turn, then alternate [INST] user [/INST] assistant."""
+        if dialog and dialog[0]["role"] == "system":
+            sys, rest = dialog[0], dialog[1:]
+            rest = list(rest)
+            rest[0] = {
+                "role": rest[0]["role"],
+                "content": B_SYS + sys["content"] + E_SYS + rest[0]["content"],
+            }
+            dialog = rest
+        assert all(m["role"] == ("user" if i % 2 == 0 else "assistant")
+                   for i, m in enumerate(dialog)), \
+            "dialog must alternate user/assistant and end with user"
+        assert dialog[-1]["role"] == "user"
+        toks: List[int] = []
+        for i in range(0, len(dialog) - 1, 2):
+            user, ans = dialog[i], dialog[i + 1]
+            toks += self.tokenizer.encode(
+                f"{B_INST} {user['content'].strip()} {E_INST} "
+                f"{ans['content'].strip()} ", bos=True, eos=True)
+        toks += self.tokenizer.encode(
+            f"{B_INST} {dialog[-1]['content'].strip()} {E_INST}",
+            bos=True, eos=False)
+        return toks

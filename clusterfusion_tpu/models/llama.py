@@ -1,0 +1,416 @@
+"""Functional JAX Llama — the TPU twin of the reference model layer
+(`chat/llama/model.py`): Transformer with per-layer branch between the fused
+megakernel decode path and an eager (stock-XLA) path, plus eager prefill.
+
+Design deltas from the reference, all TPU-motivated:
+
+- Functional params/caches (pytrees) instead of nn.Module state; the layer
+  stack runs under ``lax.scan`` so 32 layers trace once.
+- Weights are stored in the *fused, kernel-native* layout from load time
+  (`wqkv_f [kv_heads, hidden, (g+2)·head_dim]`, `wo_f [kv_heads,
+  g·head_dim, hidden]`) — the reference rebuilds fused weights in a
+  post-load hook (`model.py:286-328`); here fusion is the primary layout and
+  the eager path consumes it via einsum without re-transposing.
+- The sglang residual-pair convention is used end-to-end: each fused layer
+  takes (hidden, residual) and returns (attn_out, residual'), so the
+  residual-add is inside the kernel (`kernel_sglang.cuh:98-106`), and the
+  FFN half uses ``fused_add_rmsnorm``.
+- KV caches are preallocated to capacity [L, kv_heads, max_seq, head_dim]
+  with a dynamic position — no per-length recompiles (the reference derives
+  SEQ_LEN from the cache tensor shape per call,
+  `llama_kernel_dispatch.cu:35`).
+- GQA is native (the reference is MHA-only).
+- FFN stays on the eager XLA path, exactly like the reference
+  (`model.py:518-520` — FFN and prefill are never fused).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clusterfusion_tpu.config import KernelConfig, LlamaConfig
+from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
+from clusterfusion_tpu.ops.ffn import fused_ffn
+from clusterfusion_tpu.ops.gemv import gemv
+from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm, rmsnorm
+from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref, rmsnorm_ref
+from clusterfusion_tpu.ops.rope import (
+    apply_rope_gptj,
+    apply_rope_neox,
+    rope_tables_gptj,
+    rope_tables_neox,
+)
+from clusterfusion_tpu.ops._support import interpret_mode
+
+LlamaParams = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Parameter construction
+# --------------------------------------------------------------------------
+
+
+def padded_ffn_dim(cfg: LlamaConfig) -> int:
+    """FFN dim zero-padded to a multiple of 1024: keeps the fused-FFN
+    kernel's column blocks large and lane-aligned, and tp-sharded local
+    shapes 128-aligned (zero gate/up columns are exact no-ops)."""
+    from clusterfusion_tpu.config import round_up
+    return round_up(cfg.ffn_dim, 1024)
+
+
+def default_head_group(cfg: LlamaConfig) -> int:
+    hg = min(8, cfg.kv_heads)
+    while cfg.kv_heads % hg:
+        hg -= 1
+    return hg
+
+
+def fuse_attention_weights(wq, wk, wv, wo, cfg: LlamaConfig,
+                           head_group: Optional[int] = None):
+    """Torch-Linear-layout projections -> kernel-native head-grouped layout.
+
+    wq: [heads·hd, hidden]; wk/wv: [kv·hd, hidden]; wo: [hidden, heads·hd]
+    (all [out, in]).  Returns (wqkv_f [G, hidden, hg·(g+2)·hd],
+    wo_f [G, hg·g·hd, hidden]) with G = kv_heads / head_group.  This is the
+    TPU version of ``_build_cf_weights`` (`chat/llama/model.py:292-328`),
+    done once at load; the head grouping keeps the decode GEMVs N-wide (see
+    ops.decoder_layer performance note)."""
+    from clusterfusion_tpu.ops.decoder_layer import fuse_qkv_o_for_kernel
+    kv, g, hd, hidden = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, \
+        cfg.head_dim_, cfg.hidden_dim
+    hg = head_group or default_head_group(cfg)
+    q = wq.reshape(kv, g, hd, hidden).transpose(0, 3, 1, 2).reshape(kv, hidden, g * hd)
+    k = wk.reshape(kv, hd, hidden).transpose(0, 2, 1)
+    v = wv.reshape(kv, hd, hidden).transpose(0, 2, 1)
+    wqkv_per_head = jnp.concatenate([q, k, v], axis=-1)
+    wo_per_head = wo.T.reshape(kv, g * hd, hidden)
+    return fuse_qkv_o_for_kernel(wqkv_per_head, wo_per_head, kv, g, hd, hg)
+
+
+def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
+                head_group: Optional[int] = None) -> LlamaParams:
+    """Random-init params in the fused layout (layer arrays stacked on axis
+    0 for lax.scan)."""
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+    h, L, V = cfg.hidden_dim, cfg.n_layers, cfg.vocab_size
+    f = padded_ffn_dim(cfg)
+    hg = head_group or default_head_group(cfg)
+    G = kv // hg
+    ks = jax.random.split(key, 8)
+
+    def norm(k, shape, fan_in):
+        # generate directly in the target dtype: at 7B scale an fp32
+        # intermediate would blow HBM during init
+        return jax.random.normal(k, shape, dtype) / jnp.sqrt(fan_in).astype(dtype)
+
+    params = {
+        "embed": norm(ks[0], (V, h), h),
+        "layers": {
+            "wqkv_f": norm(ks[1], (L, G, h, hg * (g + 2) * hd), h),
+            "wo_f": norm(ks[2], (L, G, hg * g * hd, h), g * hd),
+            "w13": norm(ks[3], (L, h, 2, f), h),
+            "w2": norm(ks[4], (L, f, h), f),
+            "attn_norm": jnp.ones((L, h), dtype),
+            "ffn_norm": jnp.ones((L, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": norm(ks[5], (h, V), h),
+    }
+    return params
+
+
+def rope_table(cfg: LlamaConfig, max_pos: Optional[int] = None):
+    """Full-dim (cos, sin) tables [max_pos, head_dim] in the layout the
+    megakernel consumes for cfg.rope_style."""
+    hd = cfg.head_dim_
+    max_pos = max_pos or cfg.max_seq_len
+    if cfg.rope_style == "neox":
+        c, s = rope_tables_neox(hd, max_pos, cfg.rope_theta)
+        return (jnp.concatenate([c, c], axis=-1), jnp.concatenate([s, s], axis=-1))
+    c, s = rope_tables_gptj(hd, max_pos, cfg.rope_theta)
+    return c, s
+
+
+def init_cache(cfg: LlamaConfig, max_seq: Optional[int] = None,
+               dtype=jnp.bfloat16):
+    """[L, kv_heads, capacity, head_dim] ×2, zero-filled (zeros matter: tile
+    padding read by the kernel must not be NaN)."""
+    cap = max_seq or cfg.max_seq_len
+    shape = (cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+# --------------------------------------------------------------------------
+# Shared pieces
+# --------------------------------------------------------------------------
+
+
+def _ffn(x, w13, w2):
+    """SwiGLU in bf16 with fp32 accumulation.
+
+    w13: [hidden, 2, ffn] = stacked (w1, w3) so a tp shard of the ffn axis
+    holds *matching* gate/up columns (no resharding at the gate·up product).
+    """
+    y = jnp.einsum("...d,duf->...uf", x, w13,
+                   preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
+    return jnp.dot(act, w2, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _qkv_eager(x, wqkv_f, cfg: LlamaConfig):
+    """x [B?, T, h] → q [.., T, kv, g, hd], k/v [.., T, kv, hd] from the
+    head-grouped fused layout [G, h, hg·(g+2)·hd] (no un-transpose: the
+    grouped columns are head-major, so a reshape recovers per-head)."""
+    g, hd, kv = cfg.n_heads // cfg.kv_heads, cfg.head_dim_, cfg.kv_heads
+    y = jnp.einsum("...td,Gdc->...tGc", x, wqkv_f,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y.reshape(*y.shape[:-2], kv, (g + 2) * hd)
+    q = y[..., : g * hd].reshape(*y.shape[:-1], g, hd)
+    k = y[..., g * hd:(g + 1) * hd]
+    v = y[..., (g + 1) * hd:]
+    return q, k, v
+
+
+def _apply_rope(x, cos, sin, style):
+    if style == "neox":
+        hd = x.shape[-1]
+        return apply_rope_neox(x, cos[..., : hd // 2], sin[..., : hd // 2])
+    return apply_rope_gptj(x, cos, sin)
+
+
+# --------------------------------------------------------------------------
+# Prefill (eager, like the reference: prefill never uses the megakernel)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
+            cfg: LlamaConfig):
+    """Process a full prompt, fill caches.
+
+    tokens: [T] int32.  Returns (logits [T, vocab], k_cache', v_cache',
+    (hidden, residual) pair at position T-1 — unused for now but cheap).
+    Mirrors the reference's eager prefill (`model.py:589-603` mask path)."""
+    T = tokens.shape[0]
+    cos_t, sin_t = rope_table(cfg)
+    cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
+    h = params["embed"][tokens][None]                      # [1, T, hidden]
+    mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
+
+    def layer(carry, xs):
+        h = carry
+        p = xs
+        xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [1,T,kv,g,hd]
+        q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
+                        cfg.rope_style)
+        k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
+        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
+        scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+        o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+        kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+        G = p["wo_f"].shape[0]
+        attn = jnp.einsum("btGc,Gco->bto",
+                          o.reshape(1, T, G, (kv // G) * g * hd),
+                          p["wo_f"], preferred_element_type=jnp.float32
+                          ).astype(h.dtype)
+        h = h + attn
+        xn2 = rmsnorm_ref(h, p["ffn_norm"], cfg.norm_eps)
+        h = h + _ffn(xn2, p["w13"], p["w2"])
+        # cache entries for this layer: [kv, T, hd]
+        return h, (k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2))
+
+    h, (k_new, v_new) = jax.lax.scan(layer, h, params["layers"])
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype),
+                                           (0, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype),
+                                           (0, 0, 0, 0))
+    xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
+    logits = jnp.dot(xn[0], params["lm_head"], preferred_element_type=jnp.float32)
+    return logits, k_cache, v_cache
+
+
+# --------------------------------------------------------------------------
+# Batched training/eval forward (no cache) — differentiable, GSPMD-shardable
+# --------------------------------------------------------------------------
+
+
+def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
+    """Causal LM forward for training/eval.  tokens: [B, T] int32 →
+    logits [B, T, vocab] fp32.  Pure jnp (differentiable; the fused decode
+    kernel is inference-only, like the reference's fused path which is
+    decode-only, `model.py:490`)."""
+    B, T = tokens.shape
+    cos_t, sin_t = rope_table(cfg, max_pos=max(T, cfg.max_seq_len))
+    cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
+    h = params["embed"][tokens]                            # [B, T, hidden]
+    mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+
+    def layer(h, p):
+        xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [B,T,kv,g,hd]
+        q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
+                        cfg.rope_style)
+        k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
+        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
+        scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+        o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+        G = p["wo_f"].shape[0]
+        attn = jnp.einsum("btGc,Gco->bto",
+                          o.reshape(B, T, G, (kv // G) * g * hd),
+                          p["wo_f"], preferred_element_type=jnp.float32
+                          ).astype(h.dtype)
+        h2 = h + attn
+        xn2 = rmsnorm_ref(h2, p["ffn_norm"], cfg.norm_eps)
+        return h2 + _ffn(xn2, p["w13"], p["w2"]), None
+
+    h, _ = jax.lax.scan(layer, h, params["layers"])
+    xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
+    return jnp.dot(xn, params["lm_head"], preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Decode step — fused megakernel path and eager baseline path
+# --------------------------------------------------------------------------
+
+
+def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
+                      token: jnp.ndarray, pos: jnp.ndarray, cfg: LlamaConfig,
+                      kcfg: KernelConfig = KernelConfig(), fused: bool = True):
+    """One autoregressive decode step at position ``pos`` (``pos`` tokens
+    already cached).  token: [] int32.  Returns (logits [vocab], k_cache',
+    v_cache').
+
+    fused=True  → megakernel per layer (the `USE_CLUSTER_FUSION=true` path,
+                  `model.py:353-374`);
+    fused=False → eager XLA baseline (the fairscale/flashinfer path,
+                  `model.py:376-404`)."""
+    g = cfg.n_heads // cfg.kv_heads
+    hd = cfg.head_dim_
+    cos_t, sin_t = rope_table(cfg)
+    cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (1, hd))   # [1, hd]
+    sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (1, hd))
+
+    x = params["embed"][token][None]                        # [1, hidden]
+    residual = jnp.zeros_like(x)
+
+    # Caches ride the scan carry as the full stacked [L, kv, cap, hd]
+    # arrays; the megakernel picks its layer via a prefetched scalar and the
+    # append is a dynamic_update_slice on the carry (in-place under XLA).
+
+    def fused_layer(carry, xs):
+        x, residual, kc, vc = carry
+        p, l = xs
+        attn, residual, k_new, v_new = _fused_decoder_layer(
+            x, residual, p["attn_norm"][None], cos, sin,
+            p["wqkv_f"], p["wo_f"], kc, vc, pos, l,
+            group=g, head_dim=hd, rope_style=cfg.rope_style,
+            fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
+            interpret=interpret_mode())
+        attn = attn.astype(x.dtype)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_new[None, :, None, :].astype(kc.dtype), (l, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_new[None, :, None, :].astype(vc.dtype), (l, 0, pos, 0))
+        x, residual = fused_ffn(attn, residual, p["ffn_norm"][None],
+                                p["w13"], p["w2"], eps=cfg.norm_eps,
+                                kcfg=kcfg, interpret=interpret_mode())
+        return (x.astype(attn.dtype), residual.astype(attn.dtype), kc, vc), None
+
+    def eager_layer(carry, xs):
+        x, residual, kc, vc = carry
+        p, l = xs
+        xn, residual = fused_add_rmsnorm_ref(x, residual, p["attn_norm"],
+                                             cfg.norm_eps)
+        q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg)    # q [1,1,kv,g,hd]
+        q = _apply_rope(q, cos[0], sin[0], cfg.rope_style)
+        k = _apply_rope(k, cos[0], sin[0], cfg.rope_style)
+        kc = jax.lax.dynamic_update_slice(
+            kc, k[0].transpose(1, 0, 2)[None].astype(kc.dtype), (l, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v[0].transpose(1, 0, 2)[None].astype(vc.dtype), (l, 0, pos, 0))
+        kl = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+        scores = jnp.einsum("kgd,ksd->kgs", q[0, 0], kl,
+                            preferred_element_type=jnp.float32) * scale
+        valid = jnp.arange(kl.shape[1])[None, None] <= pos
+        scores = jnp.where(valid, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("kgs,ksd->kgd", probs, vl,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        G = p["wo_f"].shape[0]
+        attn = jnp.einsum("Gc,Gco->o",
+                          o.reshape(G, (cfg.kv_heads // G) * g * hd),
+                          p["wo_f"], preferred_element_type=jnp.float32
+                          ).astype(x.dtype)[None]
+        xn2, residual = fused_add_rmsnorm_ref(attn, residual, p["ffn_norm"],
+                                              cfg.norm_eps)
+        x = _ffn(xn2, p["w13"], p["w2"])
+        return (x, residual, kc, vc), None
+
+    layer_fn = fused_layer if fused else eager_layer
+    layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, residual, k_cache, v_cache), _ = jax.lax.scan(
+        layer_fn, (x, residual, k_cache, v_cache),
+        (params["layers"], layer_idx))
+
+    xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"], cfg.norm_eps)
+    if fused and cfg.vocab_size % 128 == 0:
+        logits = gemv(xn.astype(jnp.bfloat16), params["lm_head"],
+                      interpret=interpret_mode())[0]
+    else:
+        logits = jnp.dot(xn[0], params["lm_head"],
+                         preferred_element_type=jnp.float32)
+    return logits, k_cache, v_cache
+
+
+# Test/parity variant: inputs preserved (caches copied on update).
+decode_step = jax.jit(_decode_step_impl,
+                      static_argnames=("cfg", "kcfg", "fused"))
+
+
+def _decode_loop_impl(params, k_cache, v_cache, first_token, start_pos,
+                      cfg: LlamaConfig, kcfg: KernelConfig = KernelConfig(),
+                      fused: bool = True, n_steps: int = 32):
+    """Greedy-decode ``n_steps`` tokens entirely on device (one dispatch).
+
+    Returns (tokens [n_steps] — the inputs' successors, k_cache', v_cache').
+    The host-side streaming loop lives in models.generation; this is the
+    throughput path (and the honest benchmark: no host round-trip per
+    token)."""
+    def body(carry, _):
+        tok, pos, kc, vc = carry
+        logits, kc, vc = _decode_step_impl(params, kc, vc, tok, pos, cfg,
+                                           kcfg, fused)
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        return (nxt, pos + 1, kc, vc), nxt
+
+    (_, _, k_cache, v_cache), toks = jax.lax.scan(
+        body, (first_token, start_pos, k_cache, v_cache), None,
+        length=n_steps)
+    return toks, k_cache, v_cache
+
+
+decode_loop = jax.jit(_decode_loop_impl,
+                      static_argnames=("cfg", "kcfg", "fused", "n_steps"),
+                      donate_argnums=(1, 2))
+
+# Engine variant: donates the caches so the per-layer appends are truly
+# in-place (no full-cache copy per token — 0.5 GB/token at 7B otherwise).
+decode_step_donated = jax.jit(_decode_step_impl,
+                              static_argnames=("cfg", "kcfg", "fused"),
+                              donate_argnums=(1, 2))

@@ -1,0 +1,21 @@
+"""Pallas op layer — the TPU-native equivalent of the reference's
+kernel + dispatch + binding stack (`include/`, SURVEY.md §2.2)."""
+
+from clusterfusion_tpu.ops.rmsnorm import rmsnorm, fused_add_rmsnorm
+from clusterfusion_tpu.ops.decoder_layer import (
+    llama_decoder_layer,
+    llama_decoder_layer_sglang,
+)
+from clusterfusion_tpu.ops.paged_decoder_layer import (
+    llama_decoder_layer_batch_decode_sglang,
+)
+from clusterfusion_tpu.ops.deepseek_layer import deepseek_decoder_layer
+
+__all__ = [
+    "rmsnorm",
+    "fused_add_rmsnorm",
+    "llama_decoder_layer",
+    "llama_decoder_layer_sglang",
+    "llama_decoder_layer_batch_decode_sglang",
+    "deepseek_decoder_layer",
+]

@@ -1,0 +1,33 @@
+"""Shared helpers for the Pallas op layer."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _backend() -> str:
+    return jax.default_backend()
+
+
+def interpret_mode() -> bool:
+    """Pallas TPU kernels run compiled on TPU, interpreted elsewhere.
+
+    Tests run on a CPU host (optionally with a virtual multi-device mesh),
+    where interpret=True gives bit-accurate semantics without Mosaic.
+    Set CLUSTERFUSION_FORCE_INTERPRET=1 to force interpretation on TPU too.
+    """
+    if os.environ.get("CLUSTERFUSION_FORCE_INTERPRET", "0") == "1":
+        return True
+    return _backend() != "tpu"

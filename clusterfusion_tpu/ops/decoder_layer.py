@@ -1,0 +1,446 @@
+"""Fused Llama decoder-layer attention megakernel (single sequence, bs=1).
+
+TPU-native re-design of ClusterFusion's core contribution: the whole
+attention half of a decoder layer — residual-add + RMSNorm + QKV projection +
+RoPE + KV read + flash-decoding + O-projection — as ONE Pallas kernel
+(reference: `include/H100/llama/kernel.cuh:20-619` for the GPT-J-RoPE
+variant, `kernel_sglang.cuh:20-633` for the NEOX/fused-residual variant).
+
+How the GPU design maps to TPU (SURVEY.md §7):
+
+- The reference splits the hidden dim over a 4-CTA cluster and sums partial
+  QKV with a DSM all-reduce (`kernel.cuh:269-276`); one TPU core sees all of
+  VMEM, so the QKV projection is a single MXU matmul per *head group* and
+  the all-reduce disappears.
+- The reference splits the KV cache over the cluster's CTAs and merges
+  per-CTA online-softmax states via DSM scalar reduces
+  (`kernel.cuh:479-547`); here the KV cache is walked by a *sequential*
+  grid dimension with the (m, l, acc) softmax state carried in VMEM
+  scratch — the merge is free.
+- The cross-head `atomicAdd` O-projection reduction (`kernel.cuh:600,618`)
+  becomes accumulation into a VMEM scratch across head-group grid steps.
+- TMA double-buffered weight tile streaming (`kernel.cuh:143-165`) is
+  subsumed by Pallas BlockSpec pipelining.
+- The exp2-domain online softmax (`ptx_exp2`, softmax_scale·log2(e),
+  `kernel.cuh:58`) is kept: the scale is folded into q once.
+- The current token's K/V is folded into the softmax state exactly once at
+  the final chunk step, mirroring the reference's rank-0-warp insertion
+  (`kernel.cuh:444-477`).
+- Sequence length is a *prefetched scalar*: KV block index maps clamp to the
+  last needed chunk, so steps past the sequence end issue no DMA; the
+  kernel compiles per cache *capacity*, not per length.
+
+Performance note (measured on v5e): an M=1 GEMV is MXU-pipeline-bound, so
+the projection matmul must be N-wide to reach HBM speed-of-light — a
+per-head dot (N = 3·head_dim = 384) runs ~4× slower than an N≥1536 dot.
+The kernel therefore processes ``head_group`` KV heads per grid step
+(wqkv block N = head_group·(group+2)·head_dim), the O-projection is one
+flattened [1, head_group·group·head_dim] @ [·, hidden] dot per head group,
+and the grid is (kv_heads/head_group, 1 + kv_chunks): step 0 projects,
+steps 1.. walk KV chunks.
+
+The kernel natively supports GQA (``group`` query heads per KV head); the
+reference parity API is MHA (group=1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clusterfusion_tpu.config import KernelConfig
+from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+
+_LOG2E = 1.4426950408889634
+_NEG_INF = -1e30
+
+
+def _rope_vec(x, cos_f, sin_f, style: str):
+    """Vectorized RoPE on [rows, d] with full-dim cos/sin [1, d].
+
+    NEOX: rotate(x) = roll(x, d/2) with sign (-1 on first half);
+    GPT-J: rotate(x) = swap adjacent lanes with sign (-1 on even lanes).
+    Pure VPU: rolls + selects, no gathers."""
+    d = x.shape[-1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
+    if style == "neox":
+        rot = pltpu.roll(x, d // 2, axis=x.ndim - 1)
+        sign = jnp.where(lanes < d // 2, -1.0, 1.0)
+    elif style == "gptj":
+        fwd = pltpu.roll(x, d - 1, axis=x.ndim - 1)   # x[j+1] at lane j
+        bwd = pltpu.roll(x, 1, axis=x.ndim - 1)       # x[j-1] at lane j
+        even = (lanes % 2) == 0
+        rot = jnp.where(even, fwd, bwd)
+        sign = jnp.where(even, -1.0, 1.0)
+    else:
+        raise ValueError(f"unknown rope style {style!r}")
+    return x * cos_f + rot * sign * sin_f
+
+
+def _decoder_layer_kernel(
+    # scalar prefetch: [seq_len, layer_id]
+    s_ref,
+    # inputs
+    x_ref, res_ref, rmsw_ref, cos_ref, sin_ref,
+    wqkv_ref, wo_ref, k_ref, v_ref,
+    # outputs
+    out_ref, res_out_ref, knew_ref, vnew_ref,
+    # scratch
+    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s,
+    *,
+    hg: int,          # KV heads per grid step
+    group: int,       # query heads per KV head (GQA)
+    head_dim: int,
+    kv_chunk: int,
+    rope_style: str,
+    fuse_residual: bool,
+    eps: float,
+):
+    hg_id = pl.program_id(0)
+    c_id = pl.program_id(1)
+    n_chunks = pl.num_programs(1) - 1
+    seq = s_ref[0]
+    hd = head_dim
+    rows = hg * group                                  # q rows per step
+    f32 = jnp.float32
+
+    # ---- step (0, 0): residual add + RMSNorm, shared by all heads ----------
+    @pl.when(jnp.logical_and(hg_id == 0, c_id == 0))
+    def _():
+        x = x_ref[...].astype(f32)
+        if fuse_residual:
+            x = x + res_ref[...].astype(f32)
+            res_out_ref[...] = x.astype(res_out_ref.dtype)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        xnorm_s[...] = x * jax.lax.rsqrt(var + eps) * rmsw_ref[...].astype(f32)
+        out_s[...] = jnp.zeros_like(out_s)
+
+    # ---- per head group, step 0: QKV projection + RoPE + new-KV export -----
+    @pl.when(c_id == 0)
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)           # [1, hidden]
+        # one N-wide MXU dot: N = hg*(group+2)*hd
+        qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+        cos_f = cos_ref[...].astype(f32)
+        sin_f = sin_ref[...].astype(f32)
+        scale = (1.0 / math.sqrt(hd)) * _LOG2E
+        for h in range(hg):
+            base = h * (group + 2) * hd
+            k = _rope_vec(qkv[:, base + group * hd: base + (group + 1) * hd],
+                          cos_f, sin_f, rope_style)
+            v = qkv[:, base + (group + 1) * hd: base + (group + 2) * hd]
+            knew_ref[0, h:h + 1, :] = k.astype(knew_ref.dtype)
+            vnew_ref[0, h:h + 1, :] = v.astype(vnew_ref.dtype)
+            kv_s[h:h + 1, :] = k
+            kv_s[hg + h:hg + h + 1, :] = v
+            for i in range(group):
+                qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
+                               cos_f, sin_f, rope_style)
+                q_s[h * group + i: h * group + i + 1, :] = qi * scale
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)    # running max
+        ml_s[1, :] = jnp.zeros((rows,), f32)             # running sum
+
+    # ---- chunk steps: online-softmax accumulation over the KV cache --------
+    c = c_id - 1   # chunk index for steps >= 1
+    @pl.when(jnp.logical_and(c_id >= 1, c * kv_chunk < seq))
+    def _():
+        pos_base = c * kv_chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
+        row_valid = (pos_base + row_iota) < seq
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
+        col_valid = (pos_base + col_iota) < seq
+        for h in range(hg):
+            q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
+            kc = k_ref[0, h]                             # [chunk, hd]
+            # Rows past seq are tile padding with undefined content (NaN/Inf
+            # possible on hardware): zero v so 0-weighted garbage can't
+            # poison the p·V dot; scores get masked below.
+            vc = jnp.where(row_valid, v_ref[0, h], 0)
+            scores = jax.lax.dot_general(                # [group, chunk]
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            scores = jnp.where(col_valid, scores, _NEG_INF)
+
+            m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
+            l_old = ml_s[1, h * group:(h + 1) * group].reshape(group, 1)
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            acc_s[h * group:(h + 1) * group, :] = \
+                acc_s[h * group:(h + 1) * group, :] * alpha + pv
+            ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]
+            ml_s[1, h * group:(h + 1) * group] = \
+                (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    # ---- final step: fold current token, normalize, O-projection -----------
+    @pl.when(c_id == n_chunks)
+    def _():
+        q = q_s[...]                                     # [rows, hd] f32
+        k_cur = kv_s[:hg, :]                             # [hg, hd]
+        v_cur = kv_s[hg:, :]
+        # expand per-kv-head current k/v to per-q-head rows
+        if group == 1:
+            k_rows, v_rows = k_cur, v_cur
+        else:
+            k_rows = jnp.concatenate(
+                [pltpu.repeat(k_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+            v_rows = jnp.concatenate(
+                [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+        s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)   # [rows, 1]
+        m_old = ml_s[0, :].reshape(rows, 1)
+        l_old = ml_s[1, :].reshape(rows, 1)
+        m_f = jnp.maximum(m_old, s_cur)
+        alpha = jnp.exp2(m_old - m_f)
+        p_cur = jnp.exp2(s_cur - m_f)
+        acc = acc_s[...] * alpha + p_cur * v_rows
+        l_f = l_old * alpha + p_cur
+        o = (acc / l_f).astype(jnp.bfloat16)             # [rows, hd]
+        o_flat = o.reshape(1, rows * hd)
+        # one N-wide dot: [1, rows·hd] @ [rows·hd, hidden]
+        out_s[...] += jnp.dot(o_flat, wo_ref[0], preferred_element_type=f32)
+
+        @pl.when(hg_id == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = out_s[...].astype(out_ref.dtype)
+
+
+def _pick_head_group(kv_heads: int, requested: int) -> int:
+    hgv = min(requested, kv_heads)
+    while kv_heads % hgv:
+        hgv -= 1
+    return max(hgv, 1)
+
+
+def _fused_decoder_layer(
+    x, residual, rms_w, cos_f, sin_f, wqkv_f, wo_f, k_cache, v_cache, seq_len,
+    layer_id=0,
+    *,
+    group: int,
+    head_dim: int,
+    rope_style: str,
+    fuse_residual: bool,
+    eps: float,
+    kcfg: KernelConfig,
+    interpret: bool,
+):
+    """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
+    head_group):
+
+    x, residual: [1, hidden]; rms_w: [1, hidden]; cos_f/sin_f: [1, head_dim]
+    wqkv_f: [G, hidden, hg·(group+2)·head_dim]
+            (per KV head, columns [q_0..q_{group-1} | k | v])
+    wo_f:   [G, hg·group·head_dim, hidden]
+    k_cache/v_cache: [n_layers, kv_heads, capacity, head_dim] — the whole
+    layer-stacked cache; ``layer_id`` (int32 scalar) picks the layer via the
+    BlockSpec index maps, so a layer-scanned caller pays no per-layer cache
+    slicing (the TPU answer to the reference's per-layer device pointer
+    table, `kernel_batch_sglang.cuh:118-119`).  seq_len: int32 scalar.
+
+    Returns (output [1,hidden], residual_out [1,hidden],
+             k_new [kv_heads, head_dim], v_new [kv_heads, head_dim]).
+    """
+    G, hidden, qkv_cols = wqkv_f.shape
+    kv_heads = k_cache.shape[1]
+    hg = kv_heads // G
+    assert qkv_cols == hg * (group + 2) * head_dim
+    cap = k_cache.shape[2]
+    hd = head_dim
+    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    n_chunks = max(cdiv(cap, chunk), 1)
+    dt = x.dtype
+
+    def kv_index_map(g_i, c_i, s):
+        last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
+        c = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        return (s[1], g_i, c, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, n_chunks + 1),
+        in_specs=[
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden, qkv_cols), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg * group * hd, hidden), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),            # x_norm
+            pltpu.VMEM((hg * group, hd), jnp.float32),       # q (scaled, rope'd)
+            pltpu.VMEM((hg * group, hd), jnp.float32),       # softmax acc
+            pltpu.VMEM((1, hidden), jnp.float32),            # output accumulator
+            pltpu.VMEM((2, hg * group), jnp.float32),        # running (m, l)
+            pltpu.VMEM((2 * hg, hd), jnp.float32),           # current (k, v)
+        ],
+    )
+
+    kernel = functools.partial(
+        _decoder_layer_kernel,
+        hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
+        rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
+    )
+
+    flops = 2 * hidden * (group + 2) * hd * kv_heads \
+        + 2 * kv_heads * group * cap * hd * 2 \
+        + 2 * kv_heads * group * hd * hidden
+    nbytes = (wqkv_f.size + wo_f.size) * dt.itemsize \
+        + 2 * kv_heads * cap * hd * dt.itemsize
+
+    seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
+                         jnp.asarray(layer_id, jnp.int32).reshape(())])
+
+    out, res_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((G, hg, hd), dt),
+            jax.ShapeDtypeStruct((G, hg, hd), dt),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nbytes, transcendentals=kv_heads * cap),
+        interpret=interpret,
+    )(seq_arr, x, residual, rms_w, cos_f, sin_f, wqkv_f, wo_f, k_cache, v_cache)
+    return (out, res_out,
+            k_new.reshape(kv_heads, hd), v_new.reshape(kv_heads, hd))
+
+
+def fuse_qkv_o_for_kernel(wqkv_per_head, wo_per_head, kv_heads: int,
+                          group: int, head_dim: int, head_group: int):
+    """[kv, hidden, (g+2)·hd] + [kv, g·hd, hidden] → head-grouped kernel
+    layouts ([G, hidden, hg·(g+2)·hd], [G, hg·g·hd, hidden])."""
+    hg = head_group
+    G = kv_heads // hg
+    kv, hidden, cols = wqkv_per_head.shape
+    wqkv_g = (wqkv_per_head.reshape(G, hg, hidden, cols)
+              .transpose(0, 2, 1, 3).reshape(G, hidden, hg * cols))
+    wo_g = wo_per_head.reshape(G, hg * group * head_dim, hidden)
+    return wqkv_g, wo_g
+
+
+# --------------------------------------------------------------------------
+# Reference-parity public APIs
+# --------------------------------------------------------------------------
+
+
+def _prep_mha(weight_qkv, weight_o, k_cache, v_cache, heads, hd, hg,
+              transposed_blocks: bool):
+    """Reference tensor layouts → kernel layouts (MHA).
+
+    transposed_blocks=False: weight_qkv is torch-Linear [3·hidden, hidden]
+    (sglang op).  True: stacked [in, out] blocks (``_build_cf_weights``
+    layout, `chat/llama/model.py:316-322`)."""
+    hidden = heads * hd
+    seq = k_cache.shape[0]
+    if transposed_blocks:
+        per_head = (weight_qkv.reshape(3, hidden, heads, hd)
+                    .transpose(2, 1, 0, 3).reshape(heads, hidden, 3 * hd))
+        wo_per_head = weight_o.reshape(heads, hd, hidden)
+    else:
+        per_head = (weight_qkv.reshape(3, heads, hd, hidden)
+                    .transpose(1, 3, 0, 2).reshape(heads, hidden, 3 * hd))
+        wo_per_head = weight_o.T.reshape(heads, hd, hidden)
+    wqkv_g, wo_g = fuse_qkv_o_for_kernel(per_head, wo_per_head, heads, 1, hd, hg)
+    kc = k_cache.reshape(seq, heads, hd).transpose(1, 0, 2)[None]
+    vc = v_cache.reshape(seq, heads, hd).transpose(1, 0, 2)[None]
+    return wqkv_g, wo_g, kc, vc, seq
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "kernel_config"))
+def llama_decoder_layer_sglang(
+    input: jnp.ndarray,       # [1, hidden]
+    residual: jnp.ndarray,    # [1, hidden]
+    weight_qkv: jnp.ndarray,  # [3*hidden, hidden]  (torch Linear [out, in])
+    weight_o: jnp.ndarray,    # [hidden, hidden]
+    k_cache: jnp.ndarray,     # [seq, hidden]
+    v_cache: jnp.ndarray,     # [seq, hidden]
+    rms_w: jnp.ndarray,       # [hidden]
+    eps: float,
+    cos: jnp.ndarray,         # [head_dim/2]
+    sin: jnp.ndarray,         # [head_dim/2]
+    kernel_config: Optional[KernelConfig] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused layer, sglang variant: NEOX RoPE + fused residual-add + runtime
+    eps, weights in torch Linear [out, in] layout.  Twin of the reference op
+    `clusterfusion.llama_decoder_layer_sglang` (`pybind.cpp:14-25,111`).
+
+    Returns (output, residual_out, k_new, v_new), each [1, hidden]
+    (k_new/v_new flattened from [heads, head_dim])."""
+    kcfg = kernel_config or KernelConfig()
+    hidden = input.shape[-1]
+    hd = 2 * cos.shape[-1]
+    heads = hidden // hd
+    hg = _pick_head_group(heads, kcfg.head_group)
+    wqkv_g, wo_g, kc, vc, seq = _prep_mha(
+        weight_qkv, weight_o, k_cache, v_cache, heads, hd, hg, False)
+    cos_f = jnp.concatenate([cos, cos])[None, :]
+    sin_f = jnp.concatenate([sin, sin])[None, :]
+
+    out, res_out, k_new, v_new = _fused_decoder_layer(
+        input, residual, rms_w[None, :], cos_f, sin_f, wqkv_g, wo_g, kc, vc,
+        seq, group=1, head_dim=hd, rope_style="neox", fuse_residual=True,
+        eps=eps, kcfg=kcfg, interpret=interpret_mode())
+    return out, res_out, k_new.reshape(1, hidden), v_new.reshape(1, hidden)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "kernel_config"))
+def llama_decoder_layer(
+    input: jnp.ndarray,       # [1, hidden]
+    weight_qkv: jnp.ndarray,  # [3*hidden, hidden] of stacked W.T ([in, out]) blocks
+    weight_o: jnp.ndarray,    # [hidden, hidden] = wo.T ([in, out])
+    k_cache: jnp.ndarray,     # [seq, hidden]
+    v_cache: jnp.ndarray,     # [seq, hidden]
+    rms_w: jnp.ndarray,       # [hidden]
+    cos: jnp.ndarray,         # [1, head_dim] repeat_interleaved
+    sin: jnp.ndarray,         # [1, head_dim]
+    eps: float = 1e-6,
+    kernel_config: Optional[KernelConfig] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused layer, meta-llama variant: GPT-J interleaved RoPE, no residual
+    add (caller adds, `chat/llama/model.py:492`), eps=1e-6
+    (`kernel.cuh:58`), weights in the transposed [in, out] layout built by
+    ``_build_cf_weights`` (`chat/llama/model.py:316-322`).  Twin of the
+    reference op `clusterfusion.llama_decoder_layer` (`pybind.cpp:3-12,110`).
+
+    Returns (output, k_new, v_new), each [1, hidden]."""
+    kcfg = kernel_config or KernelConfig()
+    hidden = input.shape[-1]
+    hd = cos.shape[-1]
+    heads = hidden // hd
+    hg = _pick_head_group(heads, kcfg.head_group)
+    wqkv_g, wo_g, kc, vc, seq = _prep_mha(
+        weight_qkv, weight_o, k_cache, v_cache, heads, hd, hg, True)
+
+    out, _, k_new, v_new = _fused_decoder_layer(
+        input, input, rms_w[None, :], cos.reshape(1, hd), sin.reshape(1, hd),
+        wqkv_g, wo_g, kc, vc, seq, group=1, head_dim=hd,
+        rope_style="gptj", fuse_residual=False, eps=eps, kcfg=kcfg,
+        interpret=interpret_mode())
+    return out, k_new.reshape(1, hidden), v_new.reshape(1, hidden)

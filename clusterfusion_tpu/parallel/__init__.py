@@ -1,0 +1,14 @@
+"""Multi-chip layer: device meshes, parameter/cache shardings, and ICI
+collectives — the scope where the reference's DSM cluster primitive
+reappears on TPU (SURVEY.md §2.4: intra-cluster DSM → intra-core scratch;
+cross-chip → ICI collectives)."""
+
+from clusterfusion_tpu.parallel.mesh import build_mesh
+from clusterfusion_tpu.parallel.sharding import (
+    param_pspecs,
+    param_shardings,
+    cache_pspec,
+    cache_shardings,
+    shard_params,
+)
+from clusterfusion_tpu.parallel.decode import make_sharded_decode_step

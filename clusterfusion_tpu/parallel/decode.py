@@ -1,0 +1,102 @@
+"""Tensor-parallel fused decode across an ICI mesh.
+
+This is where the reference's collective philosophy lands on TPU
+(SURVEY.md §2.4, §7): inside one chip the megakernel already fused the
+DSM-style reductions into scratch; across chips the same two reduction
+points — after the head-parallel attention block (the reference's
+`Stage::ATTN` DSM reduce + cross-head atomicAdd, `kernel.cuh:561-568,600`)
+and after the row-parallel FFN — become two ``psum`` collectives over the
+``tp`` axis, riding ICI.
+
+Layout per chip: ``kv_heads/tp`` heads of every weight + cache; RMSNorms and
+the residual stream are replicated; logits are vocab-sharded then gathered.
+The fairscale TP of the reference's *unfused* path (`model.py:208-235`)
+required gathering full weights per rank for the fused kernel
+(`model.py:306-311` — replicating all work); here the fused kernel itself
+runs sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from clusterfusion_tpu.config import KernelConfig, LlamaConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.ops._support import interpret_mode
+from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
+from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm
+from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.parallel.sharding import cache_pspec, param_pspecs
+
+
+def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
+                             kcfg: KernelConfig = KernelConfig()):
+    """Build a jitted tp-sharded fused decode step:
+
+    ``step(params, k_cache, v_cache, token, pos) ->
+    (logits [vocab], k_cache', v_cache')``
+
+    params/caches must be device_put with ``param_shardings``/
+    ``cache_shardings`` of the same mesh."""
+    tp = mesh.shape["tp"]
+    kv_local = cfg.kv_heads // tp
+    g = cfg.n_heads // cfg.kv_heads
+    hd = cfg.head_dim_
+
+    def local_step(params, k_cache, v_cache, token, pos):
+        cos_t, sin_t = model.rope_table(cfg)
+        cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (1, hd))
+        sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (1, hd))
+        x = params["embed"][token][None]
+        residual = jnp.zeros_like(x)
+
+        def layer(carry, xs):
+            x, residual, kc, vc = carry
+            p, l = xs
+            # residual add + RMSNorm live inside the kernel and must see the
+            # *full* residual: replicated here, so the kernel computes the
+            # same norm on every chip (cheap), then per-chip partial attn.
+            attn, residual, k_new, v_new = _fused_decoder_layer(
+                x, residual, p["attn_norm"][None], cos, sin,
+                p["wqkv_f"], p["wo_f"], kc, vc, pos, l,
+                group=g, head_dim=hd, rope_style=cfg.rope_style,
+                fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
+                interpret=interpret_mode())
+            # ICI all-reduce of the row-parallel O-projection — the chip-
+            # scope Stage::ATTN reduce.
+            attn = jax.lax.psum(attn.astype(jnp.float32), "tp").astype(x.dtype)
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[None, :, None, :].astype(kc.dtype), (l, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[None, :, None, :].astype(vc.dtype), (l, 0, pos, 0))
+            ffn_in, residual = fused_add_rmsnorm(attn, residual,
+                                                 p["ffn_norm"], cfg.norm_eps)
+            h = model._ffn(ffn_in, p["w13"], p["w2"])
+            # ICI all-reduce of the row-parallel FFN down-projection.
+            h = jax.lax.psum(h.astype(jnp.float32), "tp").astype(x.dtype)
+            return (h, residual, kc, vc), None
+
+        layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, residual, k_cache, v_cache), _ = jax.lax.scan(
+            layer, (x, residual, k_cache, v_cache),
+            (params["layers"], layer_idx))
+        xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
+                                      cfg.norm_eps)
+        logits = jnp.dot(xn[0], params["lm_head"],
+                         preferred_element_type=jnp.float32)
+        return logits, k_cache, v_cache           # logits vocab-sharded
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(param_pspecs(cfg, tp), cache_pspec(), cache_pspec(),
+                  P(), P()),
+        out_specs=(P("tp"), cache_pspec(), cache_pspec()),
+        check_rep=False,
+    )
+    return jax.jit(step)

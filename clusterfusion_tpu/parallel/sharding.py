@@ -1,0 +1,68 @@
+"""PartitionSpecs for params, caches, and activations.
+
+Megatron-style TP mapped onto the fused layouts:
+
+- ``wqkv_f [L, kv_heads, hidden, (g+2)·hd]`` — shard kv_heads over tp
+  (column-parallel QKV: each chip computes its heads end-to-end).
+- ``wo_f [L, kv_heads, g·hd, hidden]`` — shard kv_heads over tp
+  (row-parallel O: per-chip partial outputs, summed by one ICI all-reduce —
+  the chip-scope analogue of the reference's DSM `Stage::ATTN` reduce +
+  cross-head atomicAdd, `kernel.cuh:561-568,600`).
+- ``w13 [L, hidden, 2, ffn]`` / ``w2 [L, ffn, hidden]`` — column/row
+  parallel; the stacked (w1, w3) layout keeps matching gate/up columns on
+  the same chip, so the SwiGLU product needs no resharding.
+- KV caches — shard kv_heads over tp, sequence over sp.
+- batch/data — dp on the leading activation axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clusterfusion_tpu.config import LlamaConfig
+
+
+def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
+    """PartitionSpec pytree matching the param pytree (for shard_map and
+    NamedSharding construction)."""
+    assert cfg.kv_heads % tp == 0, f"tp={tp} must divide kv_heads={cfg.kv_heads}"
+    assert cfg.ffn_dim % tp == 0
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "wqkv_f": P(None, "tp", None, None),
+            "wo_f": P(None, "tp", None, None),
+            "w13": P(None, None, None, "tp"),
+            "w2": P(None, "tp", None),
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
+    specs = param_pspecs(cfg, mesh.shape["tp"])
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def cache_pspec() -> P:
+    """[L, kv_heads, capacity, head_dim] — heads on tp (sequence stays local:
+    cross-chip flash-decode merge is a later milestone; sp currently shards
+    training activations only)."""
+    return P(None, "tp", None, None)
+
+
+def cache_shardings(mesh: Mesh):
+    return NamedSharding(mesh, cache_pspec())
+
+
+def shard_params(params, cfg: LlamaConfig, mesh: Mesh):
+    """Place a param pytree onto the mesh with the canonical shardings."""
+    shardings = param_shardings(cfg, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
