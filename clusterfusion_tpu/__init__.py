@@ -34,7 +34,10 @@ from clusterfusion_tpu.ops import (
     llama_decoder_layer,
     llama_decoder_layer_sglang,
     llama_decoder_layer_batch_decode_sglang,
+    llama_decoder_layer_paged,
     deepseek_decoder_layer,
+    fused_ffn,
+    gemv,
 )
 
 __version__ = "0.1.0"
@@ -49,5 +52,8 @@ __all__ = [
     "llama_decoder_layer",
     "llama_decoder_layer_sglang",
     "llama_decoder_layer_batch_decode_sglang",
+    "llama_decoder_layer_paged",
     "deepseek_decoder_layer",
+    "fused_ffn",
+    "gemv",
 ]

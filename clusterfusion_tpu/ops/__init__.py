@@ -8,7 +8,10 @@ from clusterfusion_tpu.ops.decoder_layer import (
 )
 from clusterfusion_tpu.ops.paged_decoder_layer import (
     llama_decoder_layer_batch_decode_sglang,
+    llama_decoder_layer_paged,
 )
+from clusterfusion_tpu.ops.ffn import fused_ffn
+from clusterfusion_tpu.ops.gemv import gemv
 from clusterfusion_tpu.ops.deepseek_layer import deepseek_decoder_layer
 
 __all__ = [
@@ -17,5 +20,8 @@ __all__ = [
     "llama_decoder_layer",
     "llama_decoder_layer_sglang",
     "llama_decoder_layer_batch_decode_sglang",
+    "llama_decoder_layer_paged",
     "deepseek_decoder_layer",
+    "fused_ffn",
+    "gemv",
 ]

@@ -1,42 +1,175 @@
-"""DeepSeek-V2 MLA fused decoder-layer op.
+"""DeepSeek-V2 MLA fused decoder-layer megakernel.
 
 TPU twin of `DeepSeekDecoderLayerKernel`
 (`include/H100/deepseek/kernel.cuh:9-697` + dispatch
 `deepseek_kernel_dispatch.cu`): matrix-absorbed MLA decode — RMSNorm,
-q_nope/q_pe/ckv/k_pe projections, partial RoPE on the rope slices, ckv
-RMSNorm, q@W_UK absorption into the compressed space, flash-decoding over the
-compressed ckv cache, @W_UV expansion, O-projection.
+q_nope/q_pe/ckv/k_pe projections, partial NEOX RoPE on the rope slices
+(`kernel.cuh:299-316`), ckv RMSNorm (`:318-350`), q@W_UK absorption into the
+compressed space (`:352-388`), flash-decoding over the compressed ckv cache
+(`:399-516`), @W_UV expansion (`:601-645`), O-projection (`:647-696`) — one
+Pallas kernel.
+
+Platform mapping: at DeepSeek-V2-lite geometry every weight of the layer
+(~28 MB bf16) fits in VMEM at once, so unlike the Llama kernel there is no
+weight-streaming dimension — the grid walks KV chunks only, and the four
+projections fuse into ONE N-wide MXU dot (N = heads·(nope+rope) + lora +
+rope = 3648), which the reference computes as 4 separate GEMV stages
+followed by a DSM all-reduce (`:128-297`).  The absorbed per-head attention
+becomes a single [heads, lora+rope] × [chunk, lora+rope]ᵀ dot per chunk —
+the reference's `QUK_DEEPSEEK` all-gather (`:390-397`) disappears.
 
 Improvements over the reference prototype (SURVEY.md §2.1): sequence length
-is dynamic (the reference hardcodes SEQ_LEN 4096, `deepseek/config.h:9`) and
-the new compressed-KV row is returned for cache append (the reference never
-appends).
-
-NOTE: this entry point currently lowers to the jitted fp32 path in
-``ops.reference`` while the fused Pallas MLA kernel is brought up.
+is a runtime scalar (the reference hardcodes SEQ_LEN 4096,
+`deepseek/config.h:9`); the current token IS attended and its compressed KV
+row is returned for cache append (the reference overwrites the last cache
+slot in-register and never appends, `kernel.cuh:519-521`).
 """
 
 from __future__ import annotations
 
 import functools
+import math
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from clusterfusion_tpu.ops import reference as ref
+from clusterfusion_tpu.config import KernelConfig
+from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.decoder_layer import _rope_vec
+
+_LOG2E = 1.4426950408889634
+_NEG_INF = -1e30
+
+
+def _mla_kernel(
+    # scalar prefetch: [seq_len]
+    s_ref,
+    # inputs
+    x_ref, rms_in_ref, rms_ckv_ref, cos_ref, sin_ref,
+    wproj_ref, wuk_ref, wuv_ref, wo_ref, cache_ref,
+    # outputs
+    out_ref, ckv_new_ref,
+    # scratch
+    q_s, acc_s, ml_s, cur_s,
+    *,
+    heads: int,
+    nope: int,
+    rope: int,
+    lora: int,
+    kv_chunk: int,
+    eps: float,
+):
+    c_id = pl.program_id(0)
+    n_chunks = pl.num_programs(0) - 1
+    seq = s_ref[0]
+    mla = lora + rope
+    f32 = jnp.float32
+    scale = (1.0 / math.sqrt(nope + rope)) * _LOG2E
+
+    # ---- step 0: norm + fused projections + rope + absorb -------------------
+    @pl.when(c_id == 0)
+    def _():
+        x = x_ref[...].astype(f32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        xn = (x * jax.lax.rsqrt(var + eps)
+              * rms_in_ref[...].astype(f32)).astype(jnp.bfloat16)
+        # one N-wide dot: [q_nope (h·nope) | q_pe (h·rope) | ckv (lora) | k_pe]
+        proj = jnp.dot(xn, wproj_ref[...], preferred_element_type=f32)
+        qn_off, qp_off = 0, heads * nope
+        ckv_off = qp_off + heads * rope
+        kpe_off = ckv_off + lora
+
+        cos_f = cos_ref[...].astype(f32)
+        sin_f = sin_ref[...].astype(f32)
+
+        ckv = proj[:, ckv_off:ckv_off + lora]
+        cvar = jnp.mean(ckv * ckv, axis=-1, keepdims=True)
+        ckv = ckv * jax.lax.rsqrt(cvar + eps) * rms_ckv_ref[...].astype(f32)
+        k_pe = _rope_vec(proj[:, kpe_off:kpe_off + rope], cos_f, sin_f, "neox")
+        ckv_new_ref[0, 0:1, :lora] = ckv.astype(ckv_new_ref.dtype)
+        ckv_new_ref[0, 0:1, lora:] = k_pe.astype(ckv_new_ref.dtype)
+        cur_s[0:1, :lora] = ckv
+        cur_s[0:1, lora:] = k_pe
+
+        # per-head: absorb q_nope through W_UK; q rows = [q_lora | q_pe]
+        for h in range(heads):
+            qn = proj[:, qn_off + h * nope: qn_off + (h + 1) * nope]
+            ql = jnp.dot(qn.astype(jnp.bfloat16), wuk_ref[h],
+                         preferred_element_type=f32)         # [1, lora]
+            qp = _rope_vec(proj[:, qp_off + h * rope: qp_off + (h + 1) * rope],
+                           cos_f, sin_f, "neox")
+            q_s[h:h + 1, :lora] = ql * scale
+            q_s[h:h + 1, lora:] = qp * scale
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((heads,), _NEG_INF, f32)
+        ml_s[1, :] = jnp.zeros((heads,), f32)
+
+    # ---- chunk steps: flash-decode over the compressed cache ----------------
+    c = c_id - 1
+    @pl.when(jnp.logical_and(c_id >= 1, c * kv_chunk < seq))
+    def _():
+        pos_base = c * kv_chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
+        row_valid = (pos_base + row_iota) < seq
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (heads, kv_chunk), 1)
+        col_valid = (pos_base + col_iota) < seq
+
+        q = q_s[...].astype(jnp.bfloat16)                    # [heads, mla]
+        kc = cache_ref[0]                                    # [chunk, mla]
+        # ckv doubles as V (first lora dims); zero padded rows
+        vc = jnp.where(row_valid, kc[:, :lora], 0)
+        scores = jax.lax.dot_general(                        # [heads, chunk]
+            q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        scores = jnp.where(col_valid, scores, _NEG_INF)
+
+        m_old = ml_s[0, :].reshape(heads, 1)
+        l_old = ml_s[1, :].reshape(heads, 1)
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m_old - m_new)
+        p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+        pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+        acc_s[...] = acc_s[...] * alpha + pv
+        ml_s[0, :] = m_new[:, 0]
+        ml_s[1, :] = (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    # ---- final: current token + W_UV expansion + O-projection ---------------
+    @pl.when(c_id == n_chunks)
+    def _():
+        q = q_s[...]                                         # [heads, mla] f32
+        cur = cur_s[0:1, :]                                  # [1, mla]
+        s_cur = jnp.sum(q * cur, axis=-1, keepdims=True)     # [heads, 1]
+        m_old = ml_s[0, :].reshape(heads, 1)
+        l_old = ml_s[1, :].reshape(heads, 1)
+        m_f = jnp.maximum(m_old, s_cur)
+        alpha = jnp.exp2(m_old - m_f)
+        p_cur = jnp.exp2(s_cur - m_f)
+        acc = acc_s[...] * alpha + p_cur * cur[:, :lora]
+        l_f = l_old * alpha + p_cur
+        o = (acc / l_f).astype(jnp.bfloat16)                 # [heads, lora]
+        # per-head W_UV expansion, then one N-wide O-projection
+        rows = []
+        for h in range(heads):
+            rows.append(jnp.dot(o[h:h + 1], wuv_ref[h],
+                                preferred_element_type=f32))  # [1, nope]
+        o_nope = jnp.concatenate(rows, axis=-1).astype(jnp.bfloat16)
+        out_ref[...] = jnp.dot(o_nope, wo_ref[...],
+                               preferred_element_type=f32).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps"))
+    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps", "kernel_config"))
 def deepseek_decoder_layer(
     input: jnp.ndarray,          # [1, hidden]
-    weight_q_nope: jnp.ndarray,  # [heads*nope_dim, hidden]
+    weight_q_nope: jnp.ndarray,  # [heads*nope_dim, hidden]  ([out, in])
     weight_q_pe: jnp.ndarray,    # [heads*rope_dim, hidden]
     weight_uk: jnp.ndarray,      # [heads, nope_dim, lora_rank]
     weight_kv_nope: jnp.ndarray, # [lora_rank, hidden]
     weight_k_pe: jnp.ndarray,    # [rope_dim, hidden]
     weight_uv: jnp.ndarray,      # [heads, lora_rank, nope_dim]
-    weight_o: jnp.ndarray,       # [hidden, heads*nope_dim]
+    weight_o: jnp.ndarray,       # [hidden, heads*nope_dim]  ([out, in])
     ckv_cache: jnp.ndarray,      # [seq, lora_rank + rope_dim]
     rms_input_weight: jnp.ndarray,  # [hidden]
     rms_ckv_weight: jnp.ndarray,    # [lora_rank]
@@ -47,15 +180,88 @@ def deepseek_decoder_layer(
     rope_dim: int = 64,
     lora_rank: int = 512,
     eps: float = 1e-6,
-):
-    """Returns (output [1, hidden], ckv_new [1, lora_rank + rope_dim]).
+    kernel_config: KernelConfig = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Twin of the reference op `clusterfusion.deepseek_decoder_layer`
+    (`pybind.cpp:45-59,113`).  Returns (output [1, hidden],
+    ckv_new [1, lora_rank + rope_dim]) — the reference returns output only
+    and never appends to the cache; ckv_new fixes that."""
+    kcfg = kernel_config or KernelConfig()
+    hidden = input.shape[-1]
+    h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
+    mla = lora + rope
+    seq = ckv_cache.shape[0]
+    dt = input.dtype
 
-    The reference returns output only (`pybind.cpp:45-59`); ckv_new is added
-    so callers can append to the cache, fixing the prototype's missing
-    cache-append."""
-    return ref.deepseek_decoder_layer_ref(
-        input, weight_q_nope, weight_q_pe, weight_uk, weight_kv_nope,
-        weight_k_pe, weight_uv, weight_o, ckv_cache,
-        rms_input_weight, rms_ckv_weight, cos, sin,
-        n_heads=n_heads, nope_dim=nope_dim, rope_dim=rope_dim,
-        lora_rank=lora_rank, eps=eps)
+    # fuse the four projections into one [hidden, N] matrix
+    wproj = jnp.concatenate([
+        weight_q_nope.T, weight_q_pe.T, weight_kv_nope.T, weight_k_pe.T,
+    ], axis=-1)                                            # [hidden, 3648]
+    n_proj = wproj.shape[-1]
+    wo = weight_o.T                                        # [h·nope, hidden]
+
+    chunk = min(kcfg.kv_chunk, max(round_up(seq, 16), 16))
+    n_chunks = max(cdiv(seq, chunk), 1)
+    cos_f = jnp.concatenate([cos, cos])[None, :].astype(jnp.float32)
+    sin_f = jnp.concatenate([sin, sin])[None, :].astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks + 1,),
+        in_specs=[
+            pl.BlockSpec((1, hidden), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lora), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rope), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rope), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, n_proj), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, nope, lora), lambda c, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, lora, nope), lambda c, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * nope, hidden), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, chunk, mla),
+                lambda c, s: (0, jnp.minimum(
+                    jnp.maximum(c - 1, 0),
+                    jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hidden), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mla), lambda c, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, mla), jnp.float32),      # q = [q_lora | q_pe], scaled
+            pltpu.VMEM((h, lora), jnp.float32),     # softmax acc
+            pltpu.VMEM((2, h), jnp.float32),        # running (m, l)
+            pltpu.VMEM((1, mla), jnp.float32),      # current [ckv | k_pe]
+        ],
+    )
+
+    kernel = functools.partial(
+        _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
+        kv_chunk=chunk, eps=eps)
+
+    out, ckv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((1, 1, mla), dt),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hidden * n_proj + 2 * h * seq * mla * 2
+            + 2 * h * nope * (lora + hidden),
+            bytes_accessed=(wproj.size + wo.size + ckv_cache.size) * dt.itemsize,
+            transcendentals=h * seq),
+        interpret=interpret_mode(),
+    )(jnp.asarray([seq], jnp.int32), input, rms_input_weight[None, :],
+      rms_ckv_weight[None, :], cos_f, sin_f,
+      wproj, weight_uk, weight_uv, wo, ckv_cache[None])
+    return out, ckv_new.reshape(1, mla)

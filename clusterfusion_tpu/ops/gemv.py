@@ -23,8 +23,10 @@ def _gemv_kernel(x_ref, w_ref, o_ref):
                          preferred_element_type=jnp.float32)
 
 
-def gemv(x: jnp.ndarray, w: jnp.ndarray, block_n: int = 2048,
+def gemv(x: jnp.ndarray, w: jnp.ndarray, block_n: int = 1024,
          interpret=None) -> jnp.ndarray:
+    # block_n > 1024 with K=4096 crashes the Mosaic compiler on v5e
+    # (empirical); 1024-wide blocks already reach HBM speed.
     """x [1, K] @ w [K, N] → [1, N] fp32.  N is processed in ``block_n``
     lane-aligned blocks (N must be a multiple of 128; pad the weight —
     zero columns give zero logits, slice them off)."""

@@ -1,36 +1,322 @@
-"""Batched decode with paged KV cache — fused layer op.
+"""Batched decode with paged KV cache — fused Pallas megakernel.
 
 TPU twin of `LlamaDecoderLayerBatchDecodeWithPagedKVCacheKernel`
 (`include/H100/llama/kernel_batch_sglang.cuh:43-663` + dispatch
-`llama_kernel_batch_sglang_dispatch.cu`).  Differences dictated by the
-platform (SURVEY.md §2.2 item 3):
+`llama_kernel_batch_sglang_dispatch.cu`).  Platform mapping:
 
-- The reference receives per-layer raw device pointers
-  (`k_cache_ptrs[layer_id]`, `:118-119`); here the cache is one stacked
-  array ``[n_layers, num_pages, hidden]`` indexed by ``layer_id``.
-- The reference mutates output/caches in place on a CUDA stream
-  (`llama_kernel_batch_sglang_dispatch.cu:29,92`); here the op is
-  functional and returns updated caches (donate the inputs under jit for
-  true in-place behavior).
-- Page size is one token row, as in the reference (`:341`).
+- The reference gathers token-granular KV pages with predicated 128-bit
+  `cp.async` loads through `paged_kv_indices` (`:11-41,356-433`); here the
+  gather happens in the *BlockSpec index maps*: the block table is a
+  scalar-prefetch operand and each grid step's KV block index is looked up
+  from it, so Pallas's pipelining double-buffers the scattered pages like
+  any other stream (SURVEY.md §7 "paged gather" hard part).
+- The per-layer device-pointer table (`k_cache_ptrs[layer_id]`,
+  `:118-119`) becomes a layer-stacked pool array indexed by a prefetched
+  ``layer_id`` scalar.
+- In-place stream-ordered outputs (`llama_kernel_batch_sglang_dispatch.cu:
+  29,92-110`) become functional outputs; donate the pool under jit for
+  in-place behavior.
+- The TPU-native entry (``llama_decoder_layer_paged``) uses vLLM-style
+  fixed-width block tables with page_size ≥ 1 tokens so each page is one
+  contiguous DMA; the reference-parity entry
+  (``llama_decoder_layer_batch_decode_sglang``) keeps the sglang
+  indptr/indices, page-size-1 calling convention (`:341`) and converts.
 
-NOTE: this entry point currently lowers to the jitted fp32 path in
-``ops.reference`` while the fused Pallas kernel (scalar-prefetched block
-tables, per-page DMA via BlockSpec index maps) is brought up — see
-``paged_decoder_layer_fused`` work in progress.
+Grid: (batch, head_groups, 1 + max_pages).  Step (b, g, 0) projects QKV for
+request b / head group g (N-wide MXU dot); steps 1.. walk that request's
+pages with the online-softmax state in scratch; the final step folds the
+current token and accumulates the O-projection partial.  Per-request page
+counts are dynamic: index maps clamp to the last needed page (no DMA for
+skipped steps) and masked compute skips them.
 """
 
 from __future__ import annotations
 
 import functools
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from clusterfusion_tpu.ops import reference as ref
+from clusterfusion_tpu.config import KernelConfig
+from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.decoder_layer import _rope_vec, _pick_head_group
+
+_LOG2E = 1.4426950408889634
+_NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("layer_id", "eps", "n_heads", "head_dim"))
+def _paged_kernel(
+    # scalar prefetch
+    meta_ref,        # [1]: layer_id
+    lens_ref,        # [B] cached-token counts (excluding current)
+    pos_ref,         # [B] rope positions
+    table_ref,       # [B, max_pages] pool page ids
+    # inputs
+    x_ref, res_ref, rmsw_ref, cos_ref, sin_ref,
+    wqkv_ref, wo_ref, k_ref, v_ref,
+    # outputs
+    out_ref, res_out_ref, knew_ref, vnew_ref,
+    # scratch
+    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s,
+    *,
+    hg: int,
+    group: int,
+    head_dim: int,
+    page: int,
+    rope_style: str,
+    eps: float,
+):
+    b_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+    c_id = pl.program_id(2)
+    n_pages = pl.num_programs(2) - 1
+    seq = lens_ref[b_id]
+    hd = head_dim
+    rows = hg * group
+    f32 = jnp.float32
+
+    # ---- per request: residual add + RMSNorm --------------------------------
+    @pl.when(jnp.logical_and(g_id == 0, c_id == 0))
+    def _():
+        x = x_ref[0].astype(f32) + res_ref[0].astype(f32)
+        res_out_ref[0] = x.astype(res_out_ref.dtype)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        xnorm_s[...] = x * jax.lax.rsqrt(var + eps) * rmsw_ref[...].astype(f32)
+        out_s[...] = jnp.zeros_like(out_s)
+
+    # ---- per (request, head group): QKV + RoPE + new-KV ---------------------
+    @pl.when(c_id == 0)
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)
+        qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+        cos_f = cos_ref[0].astype(f32)
+        sin_f = sin_ref[0].astype(f32)
+        scale = (1.0 / math.sqrt(hd)) * _LOG2E
+        for h in range(hg):
+            base = h * (group + 2) * hd
+            k = _rope_vec(qkv[:, base + group * hd: base + (group + 1) * hd],
+                          cos_f, sin_f, rope_style)
+            v = qkv[:, base + (group + 1) * hd: base + (group + 2) * hd]
+            knew_ref[0, 0, h:h + 1, :] = k.astype(knew_ref.dtype)
+            vnew_ref[0, 0, h:h + 1, :] = v.astype(vnew_ref.dtype)
+            kv_s[h:h + 1, :] = k
+            kv_s[hg + h:hg + h + 1, :] = v
+            for i in range(group):
+                qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
+                               cos_f, sin_f, rope_style)
+                q_s[h * group + i: h * group + i + 1, :] = qi * scale
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
+        ml_s[1, :] = jnp.zeros((rows,), f32)
+
+    # ---- page steps: online softmax over this request's pages ---------------
+    c = c_id - 1
+    @pl.when(jnp.logical_and(c_id >= 1, c * page < seq))
+    def _():
+        pos_base = c * page
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (page, 1), 0)
+        row_valid = (pos_base + row_iota) < seq
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, page), 1)
+        col_valid = (pos_base + col_iota) < seq
+        for h in range(hg):
+            q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
+            kc = k_ref[0, 0, :, h]                        # [page, hd]
+            vc = jnp.where(row_valid, v_ref[0, 0, :, h], 0)
+            scores = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            scores = jnp.where(col_valid, scores, _NEG_INF)
+
+            m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
+            l_old = ml_s[1, h * group:(h + 1) * group].reshape(group, 1)
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            acc_s[h * group:(h + 1) * group, :] = \
+                acc_s[h * group:(h + 1) * group, :] * alpha + pv
+            ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]
+            ml_s[1, h * group:(h + 1) * group] = \
+                (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    # ---- final page step: current token + O-projection partial --------------
+    @pl.when(c_id == n_pages)
+    def _():
+        q = q_s[...]
+        k_cur = kv_s[:hg, :]
+        v_cur = kv_s[hg:, :]
+        if group == 1:
+            k_rows, v_rows = k_cur, v_cur
+        else:
+            k_rows = jnp.concatenate(
+                [pltpu.repeat(k_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+            v_rows = jnp.concatenate(
+                [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+        s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)
+        m_old = ml_s[0, :].reshape(rows, 1)
+        l_old = ml_s[1, :].reshape(rows, 1)
+        m_f = jnp.maximum(m_old, s_cur)
+        alpha = jnp.exp2(m_old - m_f)
+        p_cur = jnp.exp2(s_cur - m_f)
+        acc = acc_s[...] * alpha + p_cur * v_rows
+        l_f = l_old * alpha + p_cur
+        o = (acc / l_f).astype(jnp.bfloat16)
+        o_flat = o.reshape(1, rows * hd)
+        out_s[...] += jnp.dot(o_flat, wo_ref[0], preferred_element_type=f32)
+
+        @pl.when(g_id == pl.num_programs(1) - 1)
+        def _():
+            out_ref[0] = out_s[...].astype(out_ref.dtype)
+
+
+def llama_decoder_layer_paged(
+    input: jnp.ndarray,        # [B, hidden]
+    residual: jnp.ndarray,     # [B, hidden]
+    wqkv_g: jnp.ndarray,       # [G, hidden, hg·(g+2)·hd]
+    wo_g: jnp.ndarray,         # [G, hg·g·hd, hidden]
+    block_table: jnp.ndarray,  # [B, max_pages] int32 pool page ids
+    seq_lens: jnp.ndarray,     # [B] int32 cached tokens (excl. current)
+    positions: jnp.ndarray,    # [B] int32 rope positions
+    k_pool: jnp.ndarray,       # [L, n_pages, page, kv_heads, hd]
+    v_pool: jnp.ndarray,
+    layer_id,
+    rms_w: jnp.ndarray,        # [1, hidden]
+    eps: float,
+    cos_t: jnp.ndarray,        # [max_pos, hd] full-dim cos table
+    sin_t: jnp.ndarray,        # [max_pos, hd]
+    *,
+    group: int = 1,
+    rope_style: str = "neox",
+    kcfg: KernelConfig = KernelConfig(),
+    update_pool: bool = True,
+    interpret=None,
+):
+    """TPU-native paged batch-decode fused layer.
+
+    Returns (output [B, hidden], residual_out [B, hidden],
+    k_pool', v_pool') — pools updated with the new token's K/V at
+    ``block_table[b, seq_lens[b] // page], seq_lens[b] % page`` (donate the
+    pools under jit for in-place).  If ``update_pool`` is False, returns
+    (output, residual_out, k_new [B, kv, hd], v_new [B, kv, hd]) instead.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    B, hidden = input.shape
+    G, _, qkv_cols = wqkv_g.shape
+    L, n_pages, page, kv_heads, hd = k_pool.shape
+    hg = kv_heads // G
+    assert qkv_cols == hg * (group + 2) * hd
+    max_pages = block_table.shape[1]
+    dt = input.dtype
+
+    meta = jnp.asarray([layer_id], jnp.int32) if not hasattr(layer_id, "dtype") \
+        else jnp.asarray(layer_id, jnp.int32).reshape(1)
+    lens = seq_lens.astype(jnp.int32)
+    poss = positions.astype(jnp.int32)
+    table = block_table.astype(jnp.int32)
+
+    def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
+        last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
+        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
+        return (meta_s[0], pg, 0, g, 0)
+
+    def rope_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
+        return (pos_s[b], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, G, max_pages + 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda b, g, c, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden, qkv_cols), lambda b, g, c, *s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg * group * hd, hidden),
+                         lambda b, g, c, *s: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((hg * group, hd), jnp.float32),
+            pltpu.VMEM((hg * group, hd), jnp.float32),
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((2, hg * group), jnp.float32),
+            pltpu.VMEM((2 * hg, hd), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_kernel, hg=hg, group=group, head_dim=hd, page=page,
+        rope_style=rope_style, eps=eps)
+
+    out, res_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, hidden), dt),
+            jax.ShapeDtypeStruct((B, 1, hidden), dt),
+            jax.ShapeDtypeStruct((B, G, hg, hd), dt),
+            jax.ShapeDtypeStruct((B, G, hg, hd), dt),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * hidden * (group + 2) * hd * kv_heads,
+            bytes_accessed=(wqkv_g.size + wo_g.size) * dt.itemsize,
+            transcendentals=B * kv_heads * max_pages * page),
+        interpret=interpret,
+    )(meta, lens, poss, table, input[:, None, :], residual[:, None, :],
+      rms_w, cos_t[:, None, :], sin_t[:, None, :], wqkv_g, wo_g,
+      k_pool, v_pool)
+
+    out = out.reshape(B, hidden)
+    res_out = res_out.reshape(B, hidden)
+    k_new = k_new.reshape(B, kv_heads, hd)
+    v_new = v_new.reshape(B, kv_heads, hd)
+    if not update_pool:
+        return out, res_out, k_new, v_new
+
+    # scatter the new token's K/V into the pool tail slots
+    b_idx = jnp.arange(B)
+    pg = block_table[b_idx, seq_lens // page]
+    off = seq_lens % page
+    lidx = jnp.broadcast_to(meta[0], (B,))
+    k_pool = k_pool.at[lidx, pg, off].set(k_new.astype(k_pool.dtype))
+    v_pool = v_pool.at[lidx, pg, off].set(v_new.astype(v_pool.dtype))
+    return out, res_out, k_pool, v_pool
+
+
+# --------------------------------------------------------------------------
+# Reference-parity entry: sglang indptr/indices, page size 1
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("layer_id", "eps", "n_heads",
+                                             "head_dim"))
 def llama_decoder_layer_batch_decode_sglang(
     input: jnp.ndarray,            # [batch, hidden]
     residual: jnp.ndarray,         # [batch, hidden]
@@ -44,17 +330,50 @@ def llama_decoder_layer_batch_decode_sglang(
     rms_w: jnp.ndarray,            # [hidden]
     eps: float,
     positions: jnp.ndarray,        # [batch] int32
-    cos_sin: jnp.ndarray,          # [max_pos, head_dim] (cos half ‖ sin half)
+    cos_sin: jnp.ndarray,          # [max_pos, head_dim]: cos half ‖ sin half
     n_heads: int = 32,
     head_dim: int = 128,
 ):
-    """Returns (output, residual_out, k_cache', v_cache')."""
-    out, res_out, kc, vc = ref.llama_decoder_layer_batch_paged_ref(
-        input, residual, weight_qkv, weight_o,
-        paged_kv_indptr, paged_kv_indices,
-        k_cache[layer_id], v_cache[layer_id],
-        rms_w, eps, positions, cos_sin,
-        n_heads=n_heads, head_dim=head_dim)
-    k_cache = k_cache.at[layer_id].set(kc)
-    v_cache = v_cache.at[layer_id].set(vc)
-    return out, res_out, k_cache, v_cache
+    """Twin of the reference op (`pybind.cpp:27-43,112`), functional:
+    returns (output, residual_out, k_cache', v_cache') with the new token's
+    K/V written to pool row ``indices[indptr[b+1]-1]``
+    (`kernel_batch_sglang.cuh:340-346`)."""
+    B, hidden = input.shape
+    hd = head_dim
+    heads = n_heads
+    L, num_pages, _ = k_cache.shape
+    kcfg = KernelConfig()
+    hg = _pick_head_group(heads, kcfg.head_group)
+
+    # reference layouts -> kernel layouts
+    from clusterfusion_tpu.ops.decoder_layer import fuse_qkv_o_for_kernel
+    per_head = (weight_qkv.reshape(3, heads, hd, hidden)
+                .transpose(1, 3, 0, 2).reshape(heads, hidden, 3 * hd))
+    wo_per_head = weight_o.T.reshape(heads, hd, hidden)
+    wqkv_g, wo_g = fuse_qkv_o_for_kernel(per_head, wo_per_head, heads, 1, hd, hg)
+
+    # indptr/indices (page=1) -> fixed-width block table; row b holds the
+    # request's pages INCLUDING the tail slot for the new token
+    max_pages = paged_kv_indices.shape[0]
+    j = jnp.arange(max_pages)[None, :]
+    starts = paged_kv_indptr[:-1, None]
+    table = paged_kv_indices[jnp.clip(starts + j, 0, max_pages - 1)]
+    seq_lens = paged_kv_indptr[1:] - paged_kv_indptr[:-1] - 1  # excl. new slot
+
+    # pool [L, pages, hidden] -> [L, pages, 1, heads, hd]
+    k_pool = k_cache.reshape(L, num_pages, 1, heads, hd)
+    v_pool = v_cache.reshape(L, num_pages, 1, heads, hd)
+
+    # fused cos‖sin half-table -> full-dim tables
+    cos_h = cos_sin[:, : hd // 2]
+    sin_h = cos_sin[:, hd // 2:]
+    cos_t = jnp.concatenate([cos_h, cos_h], axis=-1)
+    sin_t = jnp.concatenate([sin_h, sin_h], axis=-1)
+
+    out, res_out, k_pool, v_pool = llama_decoder_layer_paged(
+        input, residual, wqkv_g, wo_g, table, seq_lens, positions,
+        k_pool, v_pool, layer_id, rms_w[None, :], eps, cos_t, sin_t,
+        group=1, rope_style="neox", kcfg=kcfg)
+    return (out, res_out,
+            k_pool.reshape(L, num_pages, hidden),
+            v_pool.reshape(L, num_pages, hidden))

@@ -239,8 +239,8 @@ def deepseek_decoder_layer_ref(
     weight_uv: jnp.ndarray,      # [heads, lora_rank, nope_dim]  (absorbed W_UV)
     weight_o: jnp.ndarray,       # [hidden, heads*nope_dim]   ([out, in])
     ckv_cache: jnp.ndarray,      # [seq, lora_rank + rope_dim]
-    rms_input_w: jnp.ndarray,    # [hidden]
-    rms_ckv_w: jnp.ndarray,      # [lora_rank]
+    rms_input_weight: jnp.ndarray,  # [hidden]
+    rms_ckv_weight: jnp.ndarray,    # [lora_rank]
     cos: jnp.ndarray,            # [rope_dim/2]
     sin: jnp.ndarray,            # [rope_dim/2]
     *,
@@ -265,7 +265,7 @@ def deepseek_decoder_layer_ref(
     Returns (output [1,hidden], ckv_new [1, lora_rank+rope_dim])."""
     xf = input.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    x = xf * jax.lax.rsqrt(var + eps) * rms_input_w.astype(jnp.float32)
+    x = xf * jax.lax.rsqrt(var + eps) * rms_input_weight.astype(jnp.float32)
 
     f32 = jnp.float32
     q_nope = (x @ weight_q_nope.astype(f32).T).reshape(n_heads, nope_dim)
@@ -280,7 +280,7 @@ def deepseek_decoder_layer_ref(
 
     # RMSNorm on the compressed kv (kv_a_layernorm in the HF impl).
     cvar = jnp.mean(ckv * ckv, keepdims=True)
-    ckv = ckv * jax.lax.rsqrt(cvar + eps) * rms_ckv_w.astype(f32)
+    ckv = ckv * jax.lax.rsqrt(cvar + eps) * rms_ckv_weight.astype(f32)
 
     # Absorb q_nope through W_UK into lora_rank space.
     q_lora = jnp.einsum("hd,hdr->hr", q_nope, weight_uk.astype(f32))  # [h, r]
