@@ -144,7 +144,57 @@ def _time_layer(cfg, seq: int, reps: int = 256):
     return chain(fused_step), chain(eager_step)
 
 
+def _synth_quant_params(cfg, kind: str):
+    """Random params with already-quantized projection weights, built
+    directly in the quantized layout (synthesizing — rather than
+    quantizing — avoids holding bf16 + int8 copies of a 7B model in HBM at
+    once; the weights are random either way, and decode timing only depends
+    on layout/bytes)."""
+    from clusterfusion_tpu.models.llama import (
+        default_head_group, padded_ffn_dim)
+    from clusterfusion_tpu.ops.quant import _WEIGHT_AXES, QuantizedTensor
+
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+    h, L, V = cfg.hidden_dim, cfg.n_layers, cfg.vocab_size
+    f = padded_ffn_dim(cfg)
+    hg = default_head_group(cfg)
+    G = kv // hg
+    key = jax.random.PRNGKey(1)
+    gs = 128
+    shapes = {"wqkv_f": (L, G, h, hg * (g + 2) * hd),
+              "wo_f": (L, G, hg * g * hd, h),
+              "w13": (L, h, 2, f), "w2": (L, f, h)}
+    layers = {}
+    for i, (name, shp) in enumerate(shapes.items()):
+        axis, pack_axis = _WEIGHT_AXES[name]
+        qshp, sshp = list(shp), list(shp)
+        if kind == "int4":
+            qshp[pack_axis] //= 2
+            sshp[axis] = shp[axis] // gs
+        else:
+            sshp[axis] = 1
+        q = jax.random.randint(jax.random.fold_in(key, i), qshp,
+                               -8 if kind == "int4" else -127,
+                               8 if kind == "int4" else 127, jnp.int8)
+        qmax = 7.0 if kind == "int4" else 127.0
+        s = jnp.full(sshp, 1.0 / (qmax * np.sqrt(shp[axis])), jnp.float32)
+        layers[name] = QuantizedTensor(q, s, kind, axis,
+                                       gs if kind == "int4" else 0, pack_axis)
+    bf = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    layers["attn_norm"] = jnp.ones((L, h), bf)
+    layers["ffn_norm"] = jnp.ones((L, h), bf)
+    return {
+        "embed": jax.random.normal(ks[0], (V, h), bf) / np.sqrt(h),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), bf),
+        "lm_head": jax.random.normal(ks[1], (h, V), bf) / np.sqrt(h),
+    }
+
+
 def main():
+    import gc
+
     from clusterfusion_tpu.config import LlamaConfig
     from clusterfusion_tpu.models import llama as model
 
@@ -167,6 +217,22 @@ def main():
     tps_fused = _time_decode(params, cfg, n_gen, fused=True)
     tps_eager = _time_decode(params, cfg, n_gen, fused=False)
 
+    # quantized serving metrics (weight-only int8/int4, beyond the fp16-only
+    # reference) — bf16 params are freed first so a 7B model fits in HBM
+    del params
+    gc.collect()
+    quant_tps = {}
+    for kind in ("int8", "int4"):
+        try:
+            qparams = _synth_quant_params(cfg, kind)
+            jax.block_until_ready(qparams["embed"])
+            quant_tps[kind] = _time_decode(qparams, cfg, n_gen, fused=True)
+            del qparams
+            gc.collect()
+        except Exception as e:  # pragma: no cover - bench resilience
+            quant_tps[kind] = None
+            print(f"# quant bench {kind} failed: {e!r}", flush=True)
+
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",
         "value": round(tps_fused, 2),
@@ -178,6 +244,10 @@ def main():
         "layer_fused_us": round(layer_fused_us, 1),
         "layer_eager_us": round(layer_eager_us, 1),
         "layer_speedup": round(layer_eager_us / layer_fused_us, 3),
+        "int8_tokens_per_s": round(quant_tps["int8"], 2)
+        if quant_tps.get("int8") else None,
+        "int4_tokens_per_s": round(quant_tps["int4"], 2)
+        if quant_tps.get("int4") else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -38,6 +38,8 @@ from clusterfusion_tpu.ops import (
     deepseek_decoder_layer,
     fused_ffn,
     gemv,
+    QuantizedTensor,
+    quantize_llama_params,
 )
 
 __version__ = "0.1.0"
@@ -56,4 +58,6 @@ __all__ = [
     "deepseek_decoder_layer",
     "fused_ffn",
     "gemv",
+    "QuantizedTensor",
+    "quantize_llama_params",
 ]

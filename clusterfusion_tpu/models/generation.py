@@ -47,11 +47,21 @@ class Llama:
 
     def __init__(self, params, cfg: LlamaConfig, tokenizer,
                  kcfg: KernelConfig = KernelConfig(),
-                 fused: Optional[bool] = None):
+                 fused: Optional[bool] = None,
+                 quant: Optional[str] = None,
+                 kv_dtype=jnp.bfloat16):
+        """quant: None | "int8" | "int4" — weight-only quantization with
+        dequant fused into the megakernels; kv_dtype: bf16 or
+        ``jnp.float8_e4m3fn`` for an FP8 KV cache.  Both are capabilities
+        beyond the fp16-only reference (SURVEY.md §7 step 6)."""
+        if quant:
+            from clusterfusion_tpu.ops.quant import quantize_llama_params
+            params = quantize_llama_params(params, quant)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.kcfg = kcfg
+        self.kv_dtype = kv_dtype
         if fused is None:
             fused = os.getenv("USE_CLUSTER_FUSION", "true").lower() == "true"
         self.fused = fused
@@ -62,22 +72,26 @@ class Llama:
     @staticmethod
     def build(ckpt_dir: str, tokenizer_path: str, max_seq_len: int = 2048,
               max_batch_size: int = 1, fused: Optional[bool] = None,
-              dtype=jnp.bfloat16) -> "Llama":
+              dtype=jnp.bfloat16, quant: Optional[str] = None,
+              kv_dtype=jnp.bfloat16) -> "Llama":
         """Mirror of `Llama.build` (`generation.py:52-127`); max_batch_size
         kept for signature parity (single-seq fused decode is bs=1, like the
         reference kernel)."""
         from clusterfusion_tpu.models.checkpoint import load_checkpoint
         params, cfg = load_checkpoint(ckpt_dir, max_seq_len, dtype)
         tokenizer = load_tokenizer(tokenizer_path)
-        return Llama(params, cfg, tokenizer, fused=fused)
+        return Llama(params, cfg, tokenizer, fused=fused, quant=quant,
+                     kv_dtype=kv_dtype)
 
     @staticmethod
-    def synthetic(cfg: LlamaConfig, seed: int = 0, fused: Optional[bool] = None
-                  ) -> "Llama":
+    def synthetic(cfg: LlamaConfig, seed: int = 0,
+                  fused: Optional[bool] = None, quant: Optional[str] = None,
+                  kv_dtype=jnp.bfloat16) -> "Llama":
         """Random-weight engine with a byte tokenizer — hermetic e2e testing
         and benchmarking without a checkpoint."""
         params = model.init_params(cfg, jax.random.PRNGKey(seed))
-        return Llama(params, cfg, load_tokenizer("bytes"), fused=fused)
+        return Llama(params, cfg, load_tokenizer("bytes"), fused=fused,
+                     quant=quant, kv_dtype=kv_dtype)
 
     # -- core loops -----------------------------------------------------------
 
@@ -95,7 +109,7 @@ class Llama:
         cfg = self.cfg
         toks = list(prompt_tokens)
         assert len(toks) + max_gen_len <= cfg.max_seq_len, "exceeds max_seq_len"
-        k_cache, v_cache = model.init_cache(cfg)
+        k_cache, v_cache = model.init_cache(cfg, dtype=self.kv_dtype)
 
         t0 = time.perf_counter()
         logits, k_cache, v_cache = model.prefill(

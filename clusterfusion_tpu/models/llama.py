@@ -45,6 +45,7 @@ from clusterfusion_tpu.ops.rope import (
     rope_tables_neox,
 )
 from clusterfusion_tpu.ops._support import interpret_mode
+from clusterfusion_tpu.ops.quant import QuantizedTensor, maybe_dequantize, quantize_llama_params
 
 LlamaParams = Dict[str, Any]
 
@@ -155,6 +156,8 @@ def _ffn(x, w13, w2):
     w13: [hidden, 2, ffn] = stacked (w1, w3) so a tp shard of the ffn axis
     holds *matching* gate/up columns (no resharding at the gate·up product).
     """
+    w13 = maybe_dequantize(w13, x.dtype)
+    w2 = maybe_dequantize(w2, x.dtype)
     y = jnp.einsum("...d,duf->...uf", x, w13,
                    preferred_element_type=jnp.float32)
     act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
@@ -166,6 +169,7 @@ def _qkv_eager(x, wqkv_f, cfg: LlamaConfig):
     head-grouped fused layout [G, h, hg·(g+2)·hd] (no un-transpose: the
     grouped columns are head-major, so a reshape recovers per-head)."""
     g, hd, kv = cfg.n_heads // cfg.kv_heads, cfg.head_dim_, cfg.kv_heads
+    wqkv_f = maybe_dequantize(wqkv_f, x.dtype)
     y = jnp.einsum("...td,Gdc->...tGc", x, wqkv_f,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     y = y.reshape(*y.shape[:-2], kv, (g + 2) * hd)
@@ -220,7 +224,8 @@ def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         G = p["wo_f"].shape[0]
         attn = jnp.einsum("btGc,Gco->bto",
                           o.reshape(1, T, G, (kv // G) * g * hd),
-                          p["wo_f"], preferred_element_type=jnp.float32
+                          maybe_dequantize(p["wo_f"], h.dtype),
+                          preferred_element_type=jnp.float32
                           ).astype(h.dtype)
         h = h + attn
         xn2 = rmsnorm_ref(h, p["ffn_norm"], cfg.norm_eps)
@@ -271,7 +276,8 @@ def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
         G = p["wo_f"].shape[0]
         attn = jnp.einsum("btGc,Gco->bto",
                           o.reshape(B, T, G, (kv // G) * g * hd),
-                          p["wo_f"], preferred_element_type=jnp.float32
+                          maybe_dequantize(p["wo_f"], h.dtype),
+                          preferred_element_type=jnp.float32
                           ).astype(h.dtype)
         h2 = h + attn
         xn2 = rmsnorm_ref(h2, p["ffn_norm"], cfg.norm_eps)
@@ -355,7 +361,8 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         G = p["wo_f"].shape[0]
         attn = jnp.einsum("Gc,Gco->o",
                           o.reshape(G, (cfg.kv_heads // G) * g * hd),
-                          p["wo_f"], preferred_element_type=jnp.float32
+                          maybe_dequantize(p["wo_f"], x.dtype),
+                          preferred_element_type=jnp.float32
                           ).astype(x.dtype)[None]
         xn2, residual = fused_add_rmsnorm_ref(attn, residual, p["ffn_norm"],
                                               cfg.norm_eps)

@@ -13,6 +13,14 @@ from clusterfusion_tpu.ops.paged_decoder_layer import (
 from clusterfusion_tpu.ops.ffn import fused_ffn
 from clusterfusion_tpu.ops.gemv import gemv
 from clusterfusion_tpu.ops.deepseek_layer import deepseek_decoder_layer
+from clusterfusion_tpu.ops.quant import (
+    QuantizedTensor,
+    maybe_dequantize,
+    quantize,
+    quantize_int4,
+    quantize_int8,
+    quantize_llama_params,
+)
 
 __all__ = [
     "rmsnorm",
@@ -24,4 +32,10 @@ __all__ = [
     "deepseek_decoder_layer",
     "fused_ffn",
     "gemv",
+    "QuantizedTensor",
+    "maybe_dequantize",
+    "quantize",
+    "quantize_int4",
+    "quantize_int8",
+    "quantize_llama_params",
 ]

@@ -56,9 +56,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.quant import (
+    QuantizedTensor, expand_group_scales, unpack_int4)
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
+
+
+def _dequant_int4_tile(w_ref_val, s_val, gs: int):
+    """Packed int4 tile [K/2, N] + group scales [K/gs, N] → bf16 [K, N].
+    VPU-only (shifts/selects/broadcast); used when the scale varies along
+    the reduction axis so dequant can't commute with the dot."""
+    w = unpack_int4(w_ref_val, 0)
+    s = expand_group_scales(s_val, 0, gs)
+    return (w.astype(jnp.float32) * s).astype(jnp.bfloat16)
 
 
 def _rope_vec(x, cos_f, sin_f, style: str):
@@ -86,14 +97,11 @@ def _rope_vec(x, cos_f, sin_f, style: str):
 def _decoder_layer_kernel(
     # scalar prefetch: [seq_len, layer_id]
     s_ref,
-    # inputs
+    # inputs: x, res, rmsw, cos, sin, wqkv[, wqkv_s], wo[, wo_s], k, v
+    # then outputs (out, res_out, knew, vnew) and scratch — parsed from
+    # *refs because the scale operands exist only for quantized weights
     x_ref, res_ref, rmsw_ref, cos_ref, sin_ref,
-    wqkv_ref, wo_ref, k_ref, v_ref,
-    # outputs
-    out_ref, res_out_ref, knew_ref, vnew_ref,
-    # scratch
-    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s,
-    *,
+    *refs,
     hg: int,          # KV heads per grid step
     group: int,       # query heads per KV head (GQA)
     head_dim: int,
@@ -101,7 +109,17 @@ def _decoder_layer_kernel(
     rope_style: str,
     fuse_residual: bool,
     eps: float,
+    wq_kind: str,     # "none" | "int8" | "int4" (weight-only quantization)
+    gs_q: int,        # int4 group size along the reduction axis
 ):
+    it = iter(refs)
+    wqkv_ref = next(it)
+    wqkv_s_ref = next(it) if wq_kind != "none" else None
+    wo_ref = next(it)
+    wo_s_ref = next(it) if wq_kind != "none" else None
+    k_ref, v_ref = next(it), next(it)
+    out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
+    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s = (next(it) for _ in range(6))
     hg_id = pl.program_id(0)
     c_id = pl.program_id(1)
     n_chunks = pl.num_programs(1) - 1
@@ -125,8 +143,17 @@ def _decoder_layer_kernel(
     @pl.when(c_id == 0)
     def _():
         xn = xnorm_s[...].astype(jnp.bfloat16)           # [1, hidden]
-        # one N-wide MXU dot: N = hg*(group+2)*hd
-        qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+        # one N-wide MXU dot: N = hg*(group+2)*hd.  INT8 dequant commutes
+        # with the dot (per-output-column scale) → scale the [1, N] result;
+        # INT4 group scales vary along the reduction → dequant the tile.
+        if wq_kind == "none":
+            qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+        elif wq_kind == "int8":
+            qkv = jnp.dot(xn, wqkv_ref[0].astype(jnp.bfloat16),
+                          preferred_element_type=f32) * wqkv_s_ref[0]
+        else:  # int4
+            wb = _dequant_int4_tile(wqkv_ref[0], wqkv_s_ref[0], gs_q)
+            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -158,11 +185,12 @@ def _decoder_layer_kernel(
         col_valid = (pos_base + col_iota) < seq
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
-            kc = k_ref[0, h]                             # [chunk, hd]
+            # fp8 KV caches are cast at the dot (e4m3 needs no scale here)
+            kc = k_ref[0, h].astype(jnp.bfloat16)        # [chunk, hd]
             # Rows past seq are tile padding with undefined content (NaN/Inf
             # possible on hardware): zero v so 0-weighted garbage can't
             # poison the p·V dot; scores get masked below.
-            vc = jnp.where(row_valid, v_ref[0, h], 0)
+            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
             scores = jax.lax.dot_general(                # [group, chunk]
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             scores = jnp.where(col_valid, scores, _NEG_INF)
@@ -206,7 +234,15 @@ def _decoder_layer_kernel(
         o = (acc / l_f).astype(jnp.bfloat16)             # [rows, hd]
         o_flat = o.reshape(1, rows * hd)
         # one N-wide dot: [1, rows·hd] @ [rows·hd, hidden]
-        out_s[...] += jnp.dot(o_flat, wo_ref[0], preferred_element_type=f32)
+        if wq_kind == "none":
+            out_s[...] += jnp.dot(o_flat, wo_ref[0],
+                                  preferred_element_type=f32)
+        elif wq_kind == "int8":
+            out_s[...] += jnp.dot(o_flat, wo_ref[0].astype(jnp.bfloat16),
+                                  preferred_element_type=f32) * wo_s_ref[0]
+        else:  # int4
+            wb = _dequant_int4_tile(wo_ref[0], wo_s_ref[0], gs_q)
+            out_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
 
         @pl.when(hg_id == pl.num_programs(0) - 1)
         def _():
@@ -245,10 +281,24 @@ def _fused_decoder_layer(
     slicing (the TPU answer to the reference's per-layer device pointer
     table, `kernel_batch_sglang.cuh:118-119`).  seq_len: int32 scalar.
 
+    wqkv_f / wo_f may be ``QuantizedTensor``s (INT8 per-column or INT4
+    group-wise) — dequantization then happens inside the kernel, halving /
+    quartering the weight HBM traffic that dominates bs=1 decode.
+
     Returns (output [1,hidden], residual_out [1,hidden],
              k_new [kv_heads, head_dim], v_new [kv_heads, head_dim]).
     """
-    G, hidden, qkv_cols = wqkv_f.shape
+    wq_kind, gs_q = "none", 0
+    wqkv_q = wqkv_s = wo_q = wo_s = None
+    if isinstance(wqkv_f, QuantizedTensor):
+        assert isinstance(wo_f, QuantizedTensor) and wo_f.kind == wqkv_f.kind
+        wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
+        G, hidden, qkv_cols = wqkv_f.shape
+    else:
+        G, hidden, qkv_cols = wqkv_f.shape
+        wqkv_q, wo_q = wqkv_f, wo_f
     kv_heads = k_cache.shape[1]
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * head_dim
@@ -257,28 +307,45 @@ def _fused_decoder_layer(
     chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
     n_chunks = max(cdiv(cap, chunk), 1)
     dt = x.dtype
+    wo_rows = hg * group * hd
+    pack = 2 if wq_kind == "int4" else 1
 
     def kv_index_map(g_i, c_i, s):
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
         c = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
         return (s[1], g_i, c, 0)
 
+    def _g_spec(rows, cols):
+        return pl.BlockSpec((1, rows, cols), lambda g, c, s: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        _g_spec(hidden // pack, qkv_cols),
+    ]
+    inputs = [x, residual, rms_w, cos_f, sin_f, wqkv_q]
+    if wq_kind != "none":
+        in_specs.append(_g_spec(wqkv_s.shape[1], qkv_cols))
+        inputs.append(wqkv_s)
+    in_specs.append(_g_spec(wo_rows // pack, hidden))
+    inputs.append(wo_q)
+    if wq_kind != "none":
+        in_specs.append(_g_spec(wo_s.shape[1], hidden))
+        inputs.append(wo_s)
+    in_specs += [
+        pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
+    ]
+    inputs += [k_cache, v_cache]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G, n_chunks + 1),
-        in_specs=[
-            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden, qkv_cols), lambda g, c, s: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg * group * hd, hidden), lambda g, c, s: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
@@ -301,13 +368,15 @@ def _fused_decoder_layer(
         _decoder_layer_kernel,
         hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
+        wq_kind=wq_kind, gs_q=gs_q,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \
         + 2 * kv_heads * group * cap * hd * 2 \
         + 2 * kv_heads * group * hd * hidden
-    nbytes = (wqkv_f.size + wo_f.size) * dt.itemsize \
-        + 2 * kv_heads * cap * hd * dt.itemsize
+    nbytes = (wqkv_q.size * wqkv_q.dtype.itemsize
+              + wo_q.size * wo_q.dtype.itemsize) \
+        + 2 * kv_heads * cap * hd * k_cache.dtype.itemsize
 
     seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
                          jnp.asarray(layer_id, jnp.int32).reshape(())])
@@ -327,7 +396,7 @@ def _fused_decoder_layer(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=nbytes, transcendentals=kv_heads * cap),
         interpret=interpret,
-    )(seq_arr, x, residual, rms_w, cos_f, sin_f, wqkv_f, wo_f, k_cache, v_cache)
+    )(seq_arr, *inputs)
     return (out, res_out,
             k_new.reshape(kv_heads, hd), v_new.reshape(kv_heads, hd))
 

@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.quant import (
+    QuantizedTensor, expand_group_scales, unpack_int4)
 
 
 def ffn_block_size(ffn_dim: int, target: int = 1024) -> int:
@@ -50,9 +52,15 @@ def pad_ffn_weights(w13, w2, block: int):
     return w13, w2
 
 
-def _ffn_kernel(x_ref, res_ref, normw_ref, w13_ref, w2_ref,
-                out_ref, res_out_ref, xnorm_s, out_s,
-                *, hidden: int, bf: int, eps: float, fuse_residual: bool):
+def _ffn_kernel(x_ref, res_ref, normw_ref, *refs,
+                hidden: int, bf: int, eps: float, fuse_residual: bool,
+                wq_kind: str, gs_q: int):
+    it = iter(refs)
+    w13_ref = next(it)
+    w13_s_ref = next(it) if wq_kind != "none" else None
+    w2_ref = next(it)
+    w2_s_ref = next(it) if wq_kind != "none" else None
+    out_ref, res_out_ref, xnorm_s, out_s = (next(it) for _ in range(4))
     j = pl.program_id(0)
     f32 = jnp.float32
 
@@ -68,14 +76,43 @@ def _ffn_kernel(x_ref, res_ref, normw_ref, w13_ref, w2_ref,
         out_s[...] = jnp.zeros_like(out_s)
 
     xn = xnorm_s[...]                                     # [1, hidden] bf16
-    w13 = w13_ref[...].reshape(hidden, 2 * bf)            # [gate cols | up cols]
-    y = jnp.dot(xn, w13, preferred_element_type=f32)      # [1, 2·bf]
+    # gate/up projection: INT8 per-column scale commutes with the dot
+    # (applied to the [1, 2·bf] result); INT4 group scales don't — the tile
+    # is dequantized on the VPU before the dot.
+    if wq_kind == "none":
+        w13 = w13_ref[...].reshape(hidden, 2 * bf)        # [gate | up]
+        y = jnp.dot(xn, w13, preferred_element_type=f32)  # [1, 2·bf]
+    elif wq_kind == "int8":
+        w13 = w13_ref[...].reshape(hidden, 2 * bf).astype(jnp.bfloat16)
+        y = jnp.dot(xn, w13, preferred_element_type=f32) \
+            * w13_s_ref[...].reshape(1, 2 * bf)
+    else:  # int4: packed rows pair r with r+hidden/2 → concat restores order
+        w8 = w13_ref[...].reshape(hidden // 2, 2 * bf)
+        w13 = unpack_int4(w8, 0).astype(f32) \
+            * expand_group_scales(w13_s_ref[...].reshape(-1, 2 * bf), 0, gs_q)
+        y = jnp.dot(xn, w13.astype(jnp.bfloat16), preferred_element_type=f32)
     act = (jax.nn.silu(y[:, :bf]) * y[:, bf:]).astype(jnp.bfloat16)
-    out_s[...] += jnp.dot(act, w2_ref[...], preferred_element_type=f32)
+    # down projection: INT4 packs along *hidden* (the output axis) so each
+    # f-block stays self-contained; its group scales live along f (rows).
+    if wq_kind == "none":
+        out_s[...] += jnp.dot(act, w2_ref[...], preferred_element_type=f32)
+    elif wq_kind == "int8":
+        # per-output-column scale is constant across f-blocks → applied once
+        # at the final store below
+        out_s[...] += jnp.dot(act, w2_ref[...].astype(jnp.bfloat16),
+                              preferred_element_type=f32)
+    else:  # int4
+        w2 = unpack_int4(w2_ref[...], 1).astype(f32) \
+            * expand_group_scales(w2_s_ref[...], 0, gs_q)
+        out_s[...] += jnp.dot(act, w2.astype(jnp.bfloat16),
+                              preferred_element_type=f32)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
-        out_ref[...] = out_s[...].astype(out_ref.dtype)
+        out = out_s[...]
+        if wq_kind == "int8":
+            out = out * w2_s_ref[...]
+        out_ref[...] = out.astype(out_ref.dtype)
 
 
 def fused_ffn(x, residual, norm_w, w13, w2,
@@ -88,24 +125,55 @@ def fused_ffn(x, residual, norm_w, w13, w2,
     if interpret is None:
         interpret = interpret_mode()
     hidden = x.shape[-1]
-    f_pad = w2.shape[0]
+    dt = x.dtype
+
+    wq_kind, gs_q = "none", 0
+    w13_s = w2_s = None
+    if isinstance(w13, QuantizedTensor):
+        assert isinstance(w2, QuantizedTensor) and w2.kind == w13.kind
+        wq_kind, gs_q = w13.kind, w13.group_size
+        w13_s = w13.s.astype(jnp.float32)
+        w2_s = w2.s.astype(jnp.float32)
+        f_pad = w2.shape[0]
+        w13, w2 = w13.q, w2.q
+    else:
+        f_pad = w2.shape[0]
     bf = ffn_block_size(f_pad)
     assert f_pad % bf == 0, (f_pad, bf)
     nb = f_pad // bf
-    dt = x.dtype
+    pack = 2 if wq_kind == "int4" else 1
+
+    in_specs = [
+        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden // pack, 2, bf), lambda j: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, residual, norm_w, w13]
+    if wq_kind != "none":
+        in_specs.append(pl.BlockSpec((w13_s.shape[0], 2, bf),
+                                     lambda j: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(w13_s)
+    in_specs.append(pl.BlockSpec((bf, hidden // pack), lambda j: (j, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(w2)
+    if wq_kind == "int8":
+        in_specs.append(pl.BlockSpec((1, hidden), lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(w2_s)
+    elif wq_kind == "int4":
+        in_specs.append(pl.BlockSpec((bf // gs_q, hidden), lambda j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(w2_s)
 
     out, res_out = pl.pallas_call(
         functools.partial(_ffn_kernel, hidden=hidden, bf=bf, eps=eps,
-                          fuse_residual=fuse_residual),
+                          fuse_residual=fuse_residual,
+                          wq_kind=wq_kind, gs_q=gs_q),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, 2, bf), lambda j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bf, hidden), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -122,8 +190,8 @@ def fused_ffn(x, residual, norm_w, w13, w2,
             vmem_limit_bytes=kcfg.vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(
             flops=2 * hidden * 3 * f_pad,
-            bytes_accessed=3 * hidden * f_pad * dt.itemsize,
+            bytes_accessed=3 * hidden * f_pad * dt.itemsize // pack,
             transcendentals=f_pad),
         interpret=interpret,
-    )(x, residual, norm_w, w13, w2)
+    )(*inputs)
     return out, res_out

@@ -1,0 +1,196 @@
+"""Weight-only quantization (INT8 per-channel, INT4 group-wise) and FP8 KV
+cache — capabilities beyond the reference (which is fp16-only,
+`kernel.cuh:58-62`), planned for in the layer boundaries from day one
+(SURVEY.md §7 step 6).
+
+Design:
+
+- ``QuantizedTensor`` is a registered pytree (q, s) + static (kind, axis,
+  group_size), so quantized weights ride ``lax.scan`` xs, ``jax.jit``
+  arguments, and ``shard_map`` like plain arrays.
+- INT8 is symmetric per-*output-channel*: the scale is constant along the
+  reduction axis, so dequantization commutes with the matmul —
+  ``x @ (q·s) == (x @ q)·s`` — and the kernels apply the scale to the
+  [1, N] *result*, not the [K, N] weight tile.  Fused dequant is therefore
+  ~free: the kernel's HBM traffic halves and the MXU consumes the int8 tile
+  cast to bf16 (integers ≤127 are exact in bf16).
+- INT4 is symmetric group-wise along the reduction axis (default group 128),
+  two nibbles packed per int8 byte.  Packing pairs row r with row r+K/2 so
+  in-kernel unpacking is ``concat(lo, hi, axis=reduction)`` — no interleave
+  / gather, pure VPU shifts.  The scale depends on the reduction position,
+  so the kernel dequantizes the tile (unpack → ·scale → bf16) before the
+  dot; HBM traffic quarters.
+- FP8 KV cache: allocate the cache as ``float8_e4m3fn`` (``init_cache``
+  dtype); the megakernels cast KV tiles to bf16 at the dot and new K/V is
+  rounded to fp8 on append.  No scale is needed at e4m3 range (±448) for
+  post-RoPE K and V.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _norm_axis(axis: int, ndim: int) -> int:
+    """Normalize to a NEGATIVE index: ``lax.scan`` slices the leading layer
+    axis off stacked weight leaves while the static aux data is shared, so
+    axes must count from the end to survive the rank change."""
+    return axis if axis < 0 else axis - ndim
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """Weight-only quantized tensor.
+
+    q: int8 payload.  INT8: same shape as the original.  INT4: ``pack_axis``
+       is halved (element p paired with element p+P/2 in one byte's lo/hi
+       nibble; pack_axis may differ from the reduction axis so that
+       column-blocked kernels can unpack a block locally).
+    s: float32 scales.  INT8: reduction axis collapsed to 1 (per output
+       channel).  INT4: reduction axis of size K/group_size.
+    kind: "int8" | "int4" (static).
+    axis: reduction axis of the original tensor (static, stored negative so
+       ``lax.scan`` slicing a leading layer axis keeps it valid).
+    group_size: INT4 quantization group along the reduction axis (static).
+    pack_axis: INT4 nibble-packing axis (static, negative; == axis unless
+       the kernel blocks the reduction axis).
+    """
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+    kind: str
+    axis: int
+    group_size: int
+    pack_axis: int = -1
+
+    def tree_flatten(self):
+        return (self.q, self.s), (self.kind, self.axis, self.group_size,
+                                  self.pack_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, s = children
+        return cls(q, s, *aux)
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        shp = list(self.q.shape)
+        if self.kind == "int4":
+            shp[self.pack_axis] *= 2
+        return tuple(shp)
+
+    @property
+    def ndim(self) -> int:
+        return self.q.ndim
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        if self.kind == "int8":
+            return (self.q.astype(jnp.float32) * self.s).astype(dtype)
+        w = unpack_int4(self.q, self.pack_axis)
+        s = expand_group_scales(self.s, self.axis, self.group_size)
+        return (w.astype(jnp.float32) * s).astype(dtype)
+
+
+def quantize_int8(w: jnp.ndarray, axis: int) -> QuantizedTensor:
+    """Symmetric per-output-channel INT8 over reduction ``axis``."""
+    axis = _norm_axis(axis, w.ndim)
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, s, "int8", axis, 0, axis)
+
+
+def quantize_int4(w: jnp.ndarray, axis: int, group_size: int = 128,
+                  pack_axis: int | None = None) -> QuantizedTensor:
+    """Symmetric group-wise INT4 over reduction ``axis`` (values in
+    [-7, 7]; -8 unused to keep the grid symmetric), nibble-packed along
+    ``pack_axis`` (default: the reduction axis)."""
+    axis = _norm_axis(axis, w.ndim)
+    pack_axis = axis if pack_axis is None else _norm_axis(pack_axis, w.ndim)
+    K = w.shape[axis]
+    assert K % group_size == 0, (K, group_size)
+    assert w.shape[pack_axis] % 2 == 0, (pack_axis, w.shape)
+    wf = jnp.moveaxis(w.astype(jnp.float32), axis, 0)      # [K, ...]
+    grp = wf.reshape(K // group_size, group_size, *wf.shape[1:])
+    amax = jnp.max(jnp.abs(grp), axis=1)                   # [K/gs, ...]
+    s = jnp.maximum(amax, 1e-8) / 7.0
+    s_rep = jnp.repeat(s, group_size, axis=0)              # [K, ...]
+    q = jnp.clip(jnp.round(wf / s_rep), -7, 7).astype(jnp.int32)
+    q = jnp.moveaxis(q, 0, axis)
+    qp = jnp.moveaxis(q, pack_axis, 0)
+    P = qp.shape[0]
+    lo, hi = qp[: P // 2], qp[P // 2:]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
+    packed = jnp.moveaxis(packed, 0, pack_axis)
+    s = jnp.moveaxis(s, 0, axis)
+    return QuantizedTensor(packed, s, "int4", axis, group_size, pack_axis)
+
+
+def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """int8-packed nibbles [..K/2..] → int32 values [..K..] (rows in natural
+    order: byte b holds rows b (lo) and b+K/2 (hi)).  Pure shifts/selects —
+    safe inside Pallas kernels."""
+    p = packed.astype(jnp.int32)
+    p = jnp.where(p < 0, p + 256, p)                       # unsigned byte
+    lo = p & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = p >> 4
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def expand_group_scales(s: jnp.ndarray, axis: int,
+                        group_size: int) -> jnp.ndarray:
+    """[..K/gs..] → [..K..] with each scale row repeated ``gs`` times
+    consecutively, via broadcast+reshape (no gather — Pallas-safe)."""
+    axis = _norm_axis(axis, s.ndim)
+    s = jnp.moveaxis(s, axis, 0)                           # [K/gs, ...]
+    ng = s.shape[0]
+    out = jnp.broadcast_to(s[:, None], (ng, group_size) + s.shape[1:])
+    out = out.reshape(ng * group_size, *s.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def quantize(w: jnp.ndarray, kind: str, axis: int, group_size: int = 128,
+             pack_axis: int | None = None) -> QuantizedTensor:
+    if kind == "int8":
+        return quantize_int8(w, axis)
+    if kind == "int4":
+        return quantize_int4(w, axis, group_size, pack_axis)
+    raise ValueError(f"unknown quantization kind {kind!r}")
+
+
+# (reduction axis, int4 pack axis) of the fused-layout weight tensors, as
+# negative indices so both stacked [L, ...] and single-layer trees work.
+# w2 [f, hidden] is consumed in f-blocks by the FFN kernel, so int4 packs
+# along hidden (the output axis) to keep each block self-contained.
+_WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
+                "w13": (-3, -3), "w2": (-2, -1)}
+
+
+def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,
+                          targets=("wqkv_f", "wo_f", "w13", "w2")):
+    """Quantize the per-layer projection weights of a Llama param tree
+    (embed / norms / lm_head stay bf16, standard weight-only practice).
+    Works on both stacked [L, ...] trees and single-layer trees."""
+    layers = dict(params["layers"])
+    for name in targets:
+        w = layers[name]
+        if isinstance(w, QuantizedTensor):
+            continue
+        axis, pack_axis = _WEIGHT_AXES[name]
+        layers[name] = quantize(w, kind, axis, group_size, pack_axis)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def maybe_dequantize(w, dtype=jnp.bfloat16):
+    return w.dequantize(dtype) if isinstance(w, QuantizedTensor) else w

@@ -12,3 +12,8 @@ from clusterfusion_tpu.parallel.sharding import (
     shard_params,
 )
 from clusterfusion_tpu.parallel.decode import make_sharded_decode_step
+from clusterfusion_tpu.parallel.collective import (
+    Stage,
+    cluster_gather,
+    cluster_reduce,
+)

@@ -32,6 +32,7 @@ from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
 from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.parallel.collective import Stage, cluster_reduce
 from clusterfusion_tpu.parallel.sharding import cache_pspec, param_pspecs
 
 
@@ -69,8 +70,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode())
             # ICI all-reduce of the row-parallel O-projection — the chip-
-            # scope Stage::ATTN reduce.
-            attn = jax.lax.psum(attn.astype(jnp.float32), "tp").astype(x.dtype)
+            # scope Stage::ATTN reduce (`kernel.cuh:561-568`).
+            attn = cluster_reduce(attn, "tp", Stage.ATTN)
             kc = jax.lax.dynamic_update_slice(
                 kc, k_new[None, :, None, :].astype(kc.dtype), (l, 0, pos, 0))
             vc = jax.lax.dynamic_update_slice(
@@ -78,8 +79,10 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             ffn_in, residual = fused_add_rmsnorm(attn, residual,
                                                  p["ffn_norm"], cfg.norm_eps)
             h = model._ffn(ffn_in, p["w13"], p["w2"])
-            # ICI all-reduce of the row-parallel FFN down-projection.
-            h = jax.lax.psum(h.astype(jnp.float32), "tp").astype(x.dtype)
+            # ICI all-reduce of the row-parallel FFN down-projection
+            # (the reference's Stage::FFN reduce minus its fused ReLU —
+            # SwiGLU's activation lives before the down-proj).
+            h = cluster_reduce(h, "tp", Stage.LINEAR)
             return (h, residual, kc, vc), None
 
         layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
