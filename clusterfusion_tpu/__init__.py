@@ -42,6 +42,8 @@ from clusterfusion_tpu.ops import (
     quantize_llama_params,
 )
 
+from clusterfusion_tpu.runtime import PagedKVScheduler, ServingEngine
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -60,4 +62,6 @@ __all__ = [
     "gemv",
     "QuantizedTensor",
     "quantize_llama_params",
+    "PagedKVScheduler",
+    "ServingEngine",
 ]

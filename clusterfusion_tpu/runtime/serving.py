@@ -1,0 +1,240 @@
+"""Continuous-batching serving engine on the paged megakernel.
+
+The reference exposes its paged batch-decode op for an external runner
+(SGLang — `README.md:55-76` documents the integration; the runner itself is
+not in the repo).  This engine is that runner, framework-native:
+
+- page bookkeeping + admission live in the native C++ scheduler
+  (``runtime.native.PagedKVScheduler`` over native/kv_runtime.cpp);
+- the device step is one jitted program: embeddings → lax.scan over layers
+  of the fused paged attention megakernel
+  (``ops.paged_decoder_layer.llama_decoder_layer_paged``) + batched SwiGLU
+  FFN → final norm → lm head → per-row sampling;
+- batch rows are padded to a fixed ``max_batch`` so the step compiles once;
+  padding rows carry the NULL page (page 0, never allocated) and seq_len 0,
+  so their masked writes are harmless;
+- prompts are prefilled eagerly (the reference also never fuses prefill,
+  `chat/llama/model.py:490`) into a temporary contiguous cache, then the
+  pages are scattered into the pool.
+
+Decode keeps per-request state device-free except one [max_batch] token
+fetch per step — the continuous-batching loop is host-driven like every
+serving runtime, but each step is a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clusterfusion_tpu.config import KernelConfig, LlamaConfig
+from clusterfusion_tpu.config import round_up
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.models.sampling import sample
+from clusterfusion_tpu.ops._support import interpret_mode
+from clusterfusion_tpu.ops.paged_decoder_layer import llama_decoder_layer_paged
+from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.runtime.native import PagedKVScheduler
+
+
+@dataclasses.dataclass
+class _Req:
+    id: int
+    prompt: List[int]
+    max_gen_len: int
+    temperature: float
+    top_p: float
+    cur_token: int = -1            # token to feed at the next step
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
+                       block_table, seq_lens, key,
+                       cfg: LlamaConfig, kcfg: KernelConfig,
+                       temperature: float, top_p: float):
+    """One batched decode step.  tokens/positions/seq_lens: [B] int32,
+    block_table: [B, P] int32.  Returns (next_tokens [B], k_pool', v_pool')."""
+    g = cfg.n_heads // cfg.kv_heads
+    cos_t, sin_t = model.rope_table(cfg)
+    x = params["embed"][tokens]                       # [B, hidden]
+    residual = jnp.zeros_like(x)
+
+    def layer(carry, xs):
+        x, res, kp, vp = carry
+        p, l = xs
+        attn, res, kp, vp = llama_decoder_layer_paged(
+            x, res, p["wqkv_f"], p["wo_f"], block_table, seq_lens,
+            positions, kp, vp, l, p["attn_norm"][None], cfg.norm_eps,
+            cos_t, sin_t, group=g, rope_style=cfg.rope_style, kcfg=kcfg,
+            interpret=interpret_mode())
+        xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
+                                         p["ffn_norm"], cfg.norm_eps)
+        h = model._ffn(xn2, p["w13"], p["w2"])
+        return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
+
+    layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, residual, k_pool, v_pool), _ = jax.lax.scan(
+        layer, (x, residual, k_pool, v_pool), (params["layers"], layer_idx))
+
+    xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
+                                  cfg.norm_eps)
+    logits = jnp.dot(xn, params["lm_head"],
+                     preferred_element_type=jnp.float32)   # [B, vocab]
+    keys = jax.random.split(key, logits.shape[0])
+    nxt = jax.vmap(lambda k, lg: sample(k, lg, temperature, top_p))(
+        keys, logits)
+    return nxt.astype(jnp.int32), k_pool, v_pool
+
+
+class ServingEngine:
+    """Continuous-batching decode over a paged KV pool.
+
+    >>> eng = ServingEngine(params, cfg, page_size=16, num_pages=512)
+    >>> eng.submit(0, prompt_tokens, max_gen_len=64)
+    >>> outputs = eng.run()     # {req_id: [generated tokens]}
+    """
+
+    def __init__(self, params, cfg: LlamaConfig, *,
+                 page_size: int = 16, num_pages: int = 256,
+                 max_batch: int = 8, max_pages_per_req: Optional[int] = None,
+                 kcfg: KernelConfig = KernelConfig(),
+                 eos_id: Optional[int] = None,
+                 kv_dtype=jnp.bfloat16, seed: int = 0):
+        if max_pages_per_req is None:
+            max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
+        self.params = params
+        self.cfg = cfg
+        self.kcfg = kcfg
+        self.eos_id = eos_id
+        self.page_size = page_size
+        self.sched = PagedKVScheduler(num_pages, page_size, max_pages_per_req)
+        self.max_batch = max_batch
+        shape = (cfg.n_layers, num_pages, page_size, cfg.kv_heads,
+                 cfg.head_dim_)
+        self.k_pool = jnp.zeros(shape, kv_dtype)
+        self.v_pool = jnp.zeros(shape, kv_dtype)
+        self._reqs: Dict[int, _Req] = {}
+        self._key = jax.random.PRNGKey(seed)
+        self._step = jax.jit(
+            functools.partial(_paged_decode_step, cfg=cfg, kcfg=kcfg),
+            static_argnames=("temperature", "top_p"),
+            donate_argnums=(1, 2))
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def submit(self, req_id: int, prompt_tokens: Sequence[int],
+               max_gen_len: int, temperature: float = 0.0,
+               top_p: float = 0.9) -> None:
+        prompt = list(prompt_tokens)
+        assert prompt, "empty prompt"
+        self._reqs[req_id] = _Req(req_id, prompt, max_gen_len,
+                                  temperature, top_p)
+        self.sched.add(req_id, len(prompt))
+
+    def _prefill_into_pool(self, req: _Req) -> None:
+        """Eager prefill of the prompt, pages scattered into the pool, and
+        the first generated token sampled from the prompt logits."""
+        cfg, page = self.cfg, self.page_size
+        T = len(req.prompt)
+        cap = round_up(T, page)
+        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
+                       self.k_pool.dtype)
+        vc = jnp.zeros_like(kc)
+        logits, kc, vc = model.prefill(
+            self.params, kc, vc, jnp.asarray(req.prompt, jnp.int32), cfg)
+        pages = self.sched.request_pages(req.id)[: cap // page]
+        # [L, kv, cap, hd] -> [L, n_used, page, kv, hd] pool pages
+        n_used = cap // page
+        k_pages = (kc.transpose(0, 2, 1, 3)
+                   .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
+                            cfg.head_dim_))
+        v_pages = (vc.transpose(0, 2, 1, 3)
+                   .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
+                            cfg.head_dim_))
+        pages_j = jnp.asarray(np.asarray(pages), jnp.int32)
+        self.k_pool = self.k_pool.at[:, pages_j].set(
+            k_pages.astype(self.k_pool.dtype))
+        self.v_pool = self.v_pool.at[:, pages_j].set(
+            v_pages.astype(self.v_pool.dtype))
+        self._key, sub = jax.random.split(self._key)
+        tok = int(sample(sub, logits[T - 1], req.temperature, req.top_p))
+        req.cur_token = tok
+        req.generated.append(tok)
+        self._maybe_finish(req)
+
+    def _maybe_finish(self, req: _Req) -> None:
+        hit_eos = self.eos_id is not None and req.generated \
+            and req.generated[-1] == self.eos_id
+        total = len(req.prompt) + len(req.generated)
+        if (hit_eos or len(req.generated) >= req.max_gen_len
+                or total > self.sched.max_tokens):
+            req.done = True
+            self.sched.release(req.id)
+
+    # -- decode loop -----------------------------------------------------------
+
+    def step(self) -> bool:
+        """One continuous-batching iteration: admit/grow/preempt via the
+        native scheduler, prefill fresh rows, run one fused decode step for
+        the whole batch, sample, commit.  Returns False when idle."""
+        ids, table, lens, poss, fresh = self.sched.prepare_batch(
+            self.max_batch)
+        B = len(ids)
+        if B == 0:
+            return False
+
+        for b in range(B):
+            if fresh[b]:
+                self._prefill_into_pool(self._reqs[int(ids[b])])
+        # prefill may have finished a fresh request (eos / max_gen_len=1 at
+        # the first sampled token) and released its pages — the prepared
+        # batch is stale; discard it (no lengths advance) and rebuild
+        if any(self._reqs[int(i)].done for i in ids):
+            self.sched.discard_batch()
+            return self.step() if self.sched.num_requests else False
+
+        P = self.sched.max_pages_per_req
+        mb = self.max_batch
+        tokens = np.zeros(mb, np.int32)
+        for b in range(B):
+            tokens[b] = self._reqs[int(ids[b])].cur_token
+        table_p = np.zeros((mb, P), np.int32)
+        table_p[:B] = table
+        lens_p = np.zeros(mb, np.int32)
+        lens_p[:B] = lens
+        poss_p = np.zeros(mb, np.int32)
+        poss_p[:B] = poss
+
+        # per-engine sampling params: use the first row's (homogeneous
+        # batches; per-row temperature is a later milestone)
+        r0 = self._reqs[int(ids[0])]
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.k_pool, self.v_pool = self._step(
+            self.params, self.k_pool, self.v_pool,
+            jnp.asarray(tokens), jnp.asarray(poss_p),
+            jnp.asarray(table_p), jnp.asarray(lens_p), sub,
+            temperature=r0.temperature, top_p=r0.top_p)
+        nxt = np.asarray(jax.device_get(nxt))
+        self.sched.commit_batch()
+
+        for b in range(B):
+            req = self._reqs[int(ids[b])]
+            tok = int(nxt[b])
+            req.cur_token = tok
+            req.generated.append(tok)
+            self._maybe_finish(req)
+        return True
+
+    def run(self) -> Dict[int, List[int]]:
+        """Decode until every submitted request finishes."""
+        while self.step():
+            pass
+        out = {rid: r.generated for rid, r in self._reqs.items()}
+        self._reqs = {r.id: r for r in self._reqs.values() if not r.done}
+        return out

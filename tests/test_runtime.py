@@ -1,0 +1,171 @@
+"""Native runtime tests: C++ page allocator/scheduler unit tests, and the
+continuous-batching serving engine end-to-end against the single-sequence
+engine (same params ⇒ same greedy tokens) — the correctness property that
+makes continuous batching trustworthy, which the reference leaves to its
+external runner (SGLang) entirely untested in-repo (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clusterfusion_tpu.config import LlamaConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.runtime.native import PagedKVScheduler
+
+
+# --------------------------------------------------------------------------
+# allocator / scheduler (pure host, no device)
+# --------------------------------------------------------------------------
+
+
+def test_pool_reserves_null_page():
+    s = PagedKVScheduler(num_pages=8, page_size=4, max_pages_per_req=4)
+    assert s.free_pages == 7
+    seen = set()
+    for i in range(7):
+        s.add(i, prompt_len=2)          # 1 page each (2+1 fits a page of 4)
+    ids, table, lens, poss, fresh = s.prepare_batch(max_batch=8)
+    assert len(ids) == 7 and fresh.all()
+    for b in range(7):
+        seen.add(int(table[b, 0]))
+    assert 0 not in seen and len(seen) == 7
+    assert s.free_pages == 0
+
+
+def test_admission_fcfs_and_release():
+    s = PagedKVScheduler(num_pages=5, page_size=4, max_pages_per_req=4)
+    s.add(1, prompt_len=10)             # needs 3 pages
+    s.add(2, prompt_len=2)              # needs 1 page
+    ids, *_ = s.prepare_batch(4)
+    assert list(ids) == [1, 2]
+    s.add(3, prompt_len=10)             # 3 pages > 0 free → queued
+    ids, *_ = s.prepare_batch(4)
+    assert list(ids) == [1, 2]
+    s.release(1)
+    ids, table, lens, _, fresh = s.prepare_batch(4)
+    assert list(ids) == [2, 3] and list(fresh) == [False, True]
+    assert s.request_len(1) == -1
+
+
+def test_growth_across_page_boundary():
+    s = PagedKVScheduler(num_pages=8, page_size=4, max_pages_per_req=4)
+    s.add(7, prompt_len=3)              # 3+1 fills page exactly → 1 page
+    ids, table, lens, poss, _ = s.prepare_batch(2)
+    assert s.free_pages == 6
+    s.commit_batch()                    # len 4: next prepare needs page 2
+    ids, table, lens, poss, _ = s.prepare_batch(2)
+    assert lens[0] == 4 and poss[0] == 4
+    assert s.free_pages == 5
+    assert len(s.request_pages(7)) == 2
+
+
+def test_preemption_requeues_newest():
+    s = PagedKVScheduler(num_pages=4, page_size=2, max_pages_per_req=3)
+    s.add(1, prompt_len=1)              # 1 page
+    s.add(2, prompt_len=1)              # 1 page
+    ids, *_ = s.prepare_batch(4)
+    assert list(ids) == [1, 2]
+    # drain the pool: grow both requests until one must be preempted
+    for _ in range(4):
+        s.commit_batch()
+        ids, table, lens, poss, fresh = s.prepare_batch(4)
+        assert len(ids) >= 1
+        assert list(ids)[0] == 1        # oldest survives
+        if len(ids) == 1:
+            break
+    else:
+        pytest.fail("expected preemption")
+    # request 2 was preempted (pages freed) and waits in the queue
+    assert s.request_len(2) >= 1
+    s.release(1)
+    ids, table, lens, poss, fresh = s.prepare_batch(4)
+    assert list(ids) == [2] and fresh[0]   # re-admitted, needs re-prefill
+
+
+def test_discard_batch_keeps_lengths():
+    s = PagedKVScheduler(num_pages=8, page_size=4, max_pages_per_req=4)
+    s.add(1, prompt_len=5)
+    s.prepare_batch(2)
+    s.discard_batch()
+    assert s.request_len(1) == 5
+    s.prepare_batch(2)
+    s.commit_batch()
+    assert s.request_len(1) == 6
+
+
+# --------------------------------------------------------------------------
+# serving engine end-to-end
+# --------------------------------------------------------------------------
+
+
+CFG = LlamaConfig.tiny(max_seq_len=64)
+
+
+def _reference_greedy(params, prompt, n_gen):
+    """Single-sequence fused decode (the already-tested path) as oracle."""
+    kc, vc = model.init_cache(CFG)
+    logits, kc, vc = model.prefill(params, kc, vc,
+                                   jnp.asarray(prompt, jnp.int32), CFG)
+    toks = [int(jnp.argmax(logits[len(prompt) - 1]))]
+    pos = len(prompt)
+    for _ in range(n_gen - 1):
+        lg, kc, vc = model.decode_step(params, kc, vc,
+                                       jnp.asarray(toks[-1], jnp.int32),
+                                       jnp.asarray(pos, jnp.int32), CFG,
+                                       fused=True)
+        toks.append(int(jnp.argmax(lg)))
+        pos += 1
+    return toks
+
+
+def test_serving_engine_matches_single_seq():
+    """3 requests with different prompts/lengths decoded together must equal
+    per-request single-sequence greedy decode."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    prompts = {0: [1, 2, 3], 1: [4, 5, 6, 7, 8, 9, 10], 2: [11, 12]}
+    n_gen = 5
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=64, max_batch=4)
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=n_gen, temperature=0.0)
+    out = eng.run()
+    assert set(out) == set(prompts)
+    for rid, p in prompts.items():
+        want = _reference_greedy(params, p, n_gen)
+        assert out[rid] == want, (rid, out[rid], want)
+
+
+def test_serving_engine_staggered_submission():
+    """A request submitted mid-flight joins the running batch and still
+    decodes correctly (true continuous batching)."""
+    params = model.init_params(CFG, jax.random.PRNGKey(1))
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=64, max_batch=4)
+    eng.submit(0, [3, 1, 4], max_gen_len=6, temperature=0.0)
+    for _ in range(2):
+        assert eng.step()
+    eng.submit(1, [1, 5, 9, 2], max_gen_len=3, temperature=0.0)
+    out = eng.run()
+    assert out[0] == _reference_greedy(params, [3, 1, 4], 6)
+    assert out[1] == _reference_greedy(params, [1, 5, 9, 2], 3)
+
+
+def test_serving_engine_queue_overflow():
+    """More requests than pages: later requests wait, then run to the same
+    greedy result once pages free up."""
+    params = model.init_params(CFG, jax.random.PRNGKey(2))
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    # pool sized so only ~2 requests fit at once
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=7, max_batch=4,
+                        max_pages_per_req=3)
+    prompts = {0: [1, 2, 3, 4], 1: [5, 6, 7], 2: [8, 9]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=4, temperature=0.0)
+    out = eng.run()
+    for rid, p in prompts.items():
+        assert out[rid] == _reference_greedy(params, p, 4), rid
