@@ -1,0 +1,192 @@
+"""Kernel autotuner — the generalized, runtime-tunable statement of the
+reference's tiling knobs.
+
+The reference hardcodes its tiling as compile-time macros
+(`H100/llama/config.h:8-21`: `TMA_LOAD_ONCE 64 // 8 16 32 64 128 256`,
+`CLUSTER_SIZE 4 // 2 4`) and its TileLang port generalizes them into
+runtime kernel-build parameters with a per-config compile cache
+(`tilelang_llama.py:165,441-452`) — but ships no tuner.  This module closes
+the loop: sweep the ``KernelConfig`` space on the device, time the fused
+decoder layer, and persist the winner per (model geometry, cache capacity,
+device kind) so later runs load it instantly.
+
+Timing methodology matches bench.py: kernels are chained on device under a
+``lax.scan`` with a data dependency (the compiler can't hoist), closed by a
+host fetch, and differenced between N and 2N chains so dispatch overhead
+cancels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clusterfusion_tpu.config import KernelConfig, LlamaConfig
+
+_CACHE_ENV = "CLUSTERFUSION_TUNE_CACHE"
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".tune_cache.json")
+
+
+def _cache_path() -> str:
+    return os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except RuntimeError:  # pragma: no cover
+        return "unknown"
+
+
+def _key(cfg: LlamaConfig, seq: int) -> str:
+    return (f"{_device_kind()}|h{cfg.hidden_dim}|q{cfg.n_heads}"
+            f"|kv{cfg.kv_heads}|d{cfg.head_dim_}|s{seq}")
+
+
+def _load_cache() -> Dict[str, dict]:
+    path = _cache_path()
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return {}
+    return {}
+
+
+def _store_cache(cache: Dict[str, dict]) -> None:
+    path = _cache_path()
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def candidate_space(cfg: LlamaConfig, seq: int):
+    """(kv_chunk, head_group) grid — the TPU analogues of TMA_LOAD_ONCE and
+    CLUSTER_SIZE.  kv_chunk trades VMEM residency against grid-step count;
+    head_group widens the projection dots (N = hg·(g+2)·hd must stay MXU-
+    efficient) against weight-tile VMEM."""
+    kv = cfg.kv_heads
+    chunks = [c for c in (128, 256, 512, 1024) if c <= max(seq, 128)]
+    hgs = [h for h in (1, 2, 4, 8, 16) if h <= kv and kv % h == 0]
+    return [(c, h) for c, h in itertools.product(chunks, hgs)]
+
+
+def _time_layer_config(cfg: LlamaConfig, seq: int, kcfg: KernelConfig,
+                       reps: int = 128) -> float:
+    """Median-of-3 per-layer latency (µs) of the fused decoder layer under
+    ``kcfg`` at KV length ``seq``."""
+    from clusterfusion_tpu.ops._support import interpret_mode
+    from clusterfusion_tpu.ops.decoder_layer import (
+        _fused_decoder_layer, fuse_qkv_o_for_kernel)
+
+    kv, g, hd, h = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, \
+        cfg.head_dim_, cfg.hidden_dim
+    hg = kcfg.head_group
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    bf = jnp.bfloat16
+    x = jax.random.normal(ks[0], (1, h), bf)
+    res = jax.random.normal(ks[1], (1, h), bf)
+    wqkv_ph = jax.random.normal(ks[2], (kv, h, (g + 2) * hd), bf) * 0.02
+    wo_ph = jax.random.normal(ks[3], (kv, g * hd, h), bf) * 0.02
+    wqkv_g, wo_g = fuse_qkv_o_for_kernel(wqkv_ph, wo_ph, kv, g, hd, hg)
+    kc = jax.random.normal(ks[4], (1, kv, seq, hd), bf)
+    vc = jax.random.normal(ks[5], (1, kv, seq, hd), bf)
+    rms_w = jnp.ones((1, h), bf)
+    cos = jnp.ones((1, hd), jnp.float32)
+    sin = jnp.zeros((1, hd), jnp.float32)
+
+    def step(xd):
+        out, _, _, _ = _fused_decoder_layer(
+            xd, res, rms_w, cos, sin, wqkv_g, wo_g, kc, vc, seq - 1, 0,
+            group=g, head_dim=hd, rope_style="neox", fuse_residual=True,
+            eps=1e-5, kcfg=kcfg, interpret=interpret_mode())
+        return out
+
+    def make(n):
+        @jax.jit
+        def run(x0):
+            def body(c, _):
+                out = step(x0 * (1.0 + c * 1e-30))
+                return jnp.sum(out.astype(jnp.float32)) * 1e-30, ()
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        return run
+
+    def timed(run):
+        np.asarray(jax.device_get(run(x)))          # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(run(x)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make(reps))
+    t2 = timed(make(2 * reps))
+    return max(t2 - t1, 1e-7) / reps * 1e6
+
+
+def tune_decoder_layer(cfg: LlamaConfig, seq: int = 1024,
+                       reps: int = 128, verbose: bool = True,
+                       use_cache: bool = True) -> KernelConfig:
+    """Sweep the candidate space, return (and persist) the fastest
+    ``KernelConfig`` for this geometry on this device."""
+    cache = _load_cache()
+    key = _key(cfg, seq)
+    if use_cache and key in cache:
+        best = cache[key]
+        return KernelConfig(kv_chunk=best["kv_chunk"],
+                            head_group=best["head_group"])
+
+    results = []
+    for chunk, hg in candidate_space(cfg, seq):
+        kcfg = KernelConfig(kv_chunk=chunk, head_group=hg)
+        try:
+            us = _time_layer_config(cfg, seq, kcfg, reps)
+        except Exception as e:   # config compiles may exceed VMEM etc.
+            if verbose:
+                print(f"tune: chunk={chunk} hg={hg} failed: {type(e).__name__}")
+            continue
+        results.append((us, chunk, hg))
+        if verbose:
+            print(f"tune: chunk={chunk:5d} hg={hg:2d} -> {us:8.1f} us/layer")
+    if not results:
+        return KernelConfig()
+    us, chunk, hg = min(results)
+    best = KernelConfig(kv_chunk=chunk, head_group=hg)
+    if use_cache:
+        cache[key] = {"kv_chunk": chunk, "head_group": hg, "us": us,
+                      "reps": reps}
+        _store_cache(cache)
+    if verbose:
+        print(f"tune: best chunk={chunk} hg={hg} ({us:.1f} us/layer)")
+    return best
+
+
+def main():  # pragma: no cover - CLI
+    import argparse
+    ap = argparse.ArgumentParser(description="Autotune the fused decoder layer")
+    ap.add_argument("--model", default="llama2_7b",
+                    choices=["llama2_7b", "llama2_13b", "llama2_70b", "tiny"])
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--reps", type=int, default=128)
+    args = ap.parse_args()
+    cfg = getattr(LlamaConfig, args.model)()
+    best = tune_decoder_layer(cfg, args.seq, args.reps)
+    print(json.dumps(dataclasses.asdict(best)))
+
+
+if __name__ == "__main__":
+    main()
