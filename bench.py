@@ -163,7 +163,7 @@ def _synth_quant_params(cfg, kind: str):
     gs = 128
     shapes = {"wqkv_f": (L, G, h, hg * (g + 2) * hd),
               "wo_f": (L, G, hg * g * hd, h),
-              "w13": (L, h, 2, f), "w2": (L, f, h)}
+              "w13": (L, 2, h, f), "w2": (L, f, h)}
     layers = {}
     for i, (name, shp) in enumerate(shapes.items()):
         axis, pack_axis = _WEIGHT_AXES[name]
@@ -173,9 +173,11 @@ def _synth_quant_params(cfg, kind: str):
             sshp[axis] = shp[axis] // gs
         else:
             sshp[axis] = 1
-        q = jax.random.randint(jax.random.fold_in(key, i), qshp,
-                               -8 if kind == "int4" else -127,
-                               8 if kind == "int4" else 127, jnp.int8)
+        # numpy host-side generation: jax.random.randint materializes a
+        # uint32 intermediate (4x the int8 payload -> HBM OOM at 7B scale)
+        rng = np.random.RandomState(17 + i)
+        lim = 8 if kind == "int4" else 127
+        q = jnp.asarray(rng.randint(-lim, lim, size=qshp, dtype=np.int8))
         qmax = 7.0 if kind == "int4" else 127.0
         s = jnp.full(sshp, 1.0 / (qmax * np.sqrt(shp[axis])), jnp.float32)
         layers[name] = QuantizedTensor(q, s, kind, axis,
@@ -184,11 +186,13 @@ def _synth_quant_params(cfg, kind: str):
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     layers["attn_norm"] = jnp.ones((L, h), bf)
     layers["ffn_norm"] = jnp.ones((L, h), bf)
+    inv = jnp.asarray(1.0 / np.sqrt(h), bf)   # bf16 scalar: a numpy f64
+    # scalar would silently promote these to f32 (2x HBM + VMEM blowups)
     return {
-        "embed": jax.random.normal(ks[0], (V, h), bf) / np.sqrt(h),
+        "embed": jax.random.normal(ks[0], (V, h), bf) * inv,
         "layers": layers,
         "final_norm": jnp.ones((h,), bf),
-        "lm_head": jax.random.normal(ks[1], (h, V), bf) / np.sqrt(h),
+        "lm_head": jax.random.normal(ks[1], (h, V), bf) * inv,
     }
 
 
@@ -209,18 +213,9 @@ def main():
                           n_layers=n_layers, vocab_size=32000,
                           max_seq_len=1024)
 
-    params = model.init_params(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-
-    layer_fused_us, layer_eager_us = _time_layer(
-        cfg, seq=1024 if not small else 256, reps=64 if small else 256)
-    tps_fused = _time_decode(params, cfg, n_gen, fused=True)
-    tps_eager = _time_decode(params, cfg, n_gen, fused=False)
-
-    # quantized serving metrics (weight-only int8/int4, beyond the fp16-only
-    # reference) — bf16 params are freed first so a 7B model fits in HBM
-    del params
-    gc.collect()
+    # quantized serving metrics first (weight-only int8/int4, beyond the
+    # fp16-only reference): ordered before the bf16 model so HBM never has
+    # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
     for kind in ("int8", "int4"):
         try:
@@ -232,6 +227,16 @@ def main():
         except Exception as e:  # pragma: no cover - bench resilience
             quant_tps[kind] = None
             print(f"# quant bench {kind} failed: {e!r}", flush=True)
+
+    layer_fused_us, layer_eager_us = _time_layer(
+        cfg, seq=1024 if not small else 256, reps=64 if small else 256)
+
+    params = model.init_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    tps_fused = _time_decode(params, cfg, n_gen, fused=True)
+    tps_eager = _time_decode(params, cfg, n_gen, fused=False)
+    del params
+    gc.collect()
 
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",

@@ -120,7 +120,7 @@ def load_meta_checkpoint(ckpt_dir: str, max_seq_len: int = 2048,
         wo_l.append(wo_f)
         w13, w2 = _pad_ffn(
             jnp.stack([get(i, "feed_forward.w1.weight").T,
-                       get(i, "feed_forward.w3.weight").T], axis=-2),
+                       get(i, "feed_forward.w3.weight").T], axis=0),
             get(i, "feed_forward.w2.weight").T, cfg)
         w13_l.append(w13)
         w2_l.append(w2)
@@ -196,7 +196,7 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         wo_l.append(wo_f)
         w13, w2 = _pad_ffn(
             jnp.stack([get(pre + "mlp.gate_proj.weight").T,
-                       get(pre + "mlp.up_proj.weight").T], axis=-2),
+                       get(pre + "mlp.up_proj.weight").T], axis=0),
             get(pre + "mlp.down_proj.weight").T, cfg)
         w13_l.append(w13)
         w2_l.append(w2)

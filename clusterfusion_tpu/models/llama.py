@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from clusterfusion_tpu.config import KernelConfig, LlamaConfig
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
+from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
 from clusterfusion_tpu.ops.ffn import fused_ffn
 from clusterfusion_tpu.ops.gemv import gemv
 from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm, rmsnorm
@@ -64,7 +65,11 @@ def padded_ffn_dim(cfg: LlamaConfig) -> int:
 
 
 def default_head_group(cfg: LlamaConfig) -> int:
-    hg = min(8, cfg.kv_heads)
+    """KV heads per kernel grid step in the fused weight layout.  4 keeps
+    the whole-stack megakernel's double-buffered blocks inside the default
+    100 MB VMEM budget at 7B geometry (hg=8 needs ~126 MB for no measured
+    gain: 50.8 vs 51.8 tok/s on v5e)."""
+    hg = min(4, cfg.kv_heads)
     while cfg.kv_heads % hg:
         hg -= 1
     return hg
@@ -113,7 +118,7 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
         "layers": {
             "wqkv_f": norm(ks[1], (L, G, h, hg * (g + 2) * hd), h),
             "wo_f": norm(ks[2], (L, G, hg * g * hd, h), g * hd),
-            "w13": norm(ks[3], (L, h, 2, f), h),
+            "w13": norm(ks[3], (L, 2, h, f), h),
             "w2": norm(ks[4], (L, f, h), f),
             "attn_norm": jnp.ones((L, h), dtype),
             "ffn_norm": jnp.ones((L, h), dtype),
@@ -153,12 +158,14 @@ def init_cache(cfg: LlamaConfig, max_seq: Optional[int] = None,
 def _ffn(x, w13, w2):
     """SwiGLU in bf16 with fp32 accumulation.
 
-    w13: [hidden, 2, ffn] = stacked (w1, w3) so a tp shard of the ffn axis
+    w13: [2, hidden, ffn] = stacked (w1, w3) so a tp shard of the ffn axis
     holds *matching* gate/up columns (no resharding at the gate·up product).
+    The gate/up axis leads so the tiled trailing dims are (hidden, ffn) —
+    a size-2 dim in tiled position pads 2-8x in HBM on TPU.
     """
     w13 = maybe_dequantize(w13, x.dtype)
     w2 = maybe_dequantize(w2, x.dtype)
-    y = jnp.einsum("...d,duf->...uf", x, w13,
+    y = jnp.einsum("...d,udf->...uf", x, w13,
                    preferred_element_type=jnp.float32)
     act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
     return jnp.dot(act, w2, preferred_element_type=jnp.float32).astype(x.dtype)
@@ -317,23 +324,30 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
     # arrays; the megakernel picks its layer via a prefetched scalar and the
     # append is a dynamic_update_slice on the carry (in-place under XLA).
 
-    def fused_layer(carry, xs):
+    # The fused path scans over layer INDICES only; the whole [L, ...]
+    # weight stacks enter each kernel and the layer is picked inside the
+    # BlockSpec index maps.  Scanning the weights as xs would dynamic-slice
+    # the stack per layer, and a pallas operand (unlike a fused einsum)
+    # needs a real buffer — XLA materializes a full copy of every layer's
+    # weights per call (~410 MB/layer at 7B; measured 3x decode slowdown).
+    # The same applies to the caches: the kernel appends the new K/V in
+    # place via an input_output_aliased DMA instead of an XLA-level
+    # dynamic_update_slice (~1 GB copy/layer otherwise).
+    lw = params["layers"]
+
+    def fused_layer(carry, l):
         x, residual, kc, vc = carry
-        p, l = xs
-        attn, residual, k_new, v_new = _fused_decoder_layer(
-            x, residual, p["attn_norm"][None], cos, sin,
-            p["wqkv_f"], p["wo_f"], kc, vc, pos, l,
+        attn, residual, _, _, kc, vc = _fused_decoder_layer(
+            x, residual, lw["attn_norm"][:, None], cos, sin,
+            lw["wqkv_f"], lw["wo_f"], kc, vc, pos, l,
             group=g, head_dim=hd, rope_style=cfg.rope_style,
             fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
-            interpret=interpret_mode())
+            interpret=interpret_mode(), append_kv=True)
         attn = attn.astype(x.dtype)
-        kc = jax.lax.dynamic_update_slice(
-            kc, k_new[None, :, None, :].astype(kc.dtype), (l, 0, pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v_new[None, :, None, :].astype(vc.dtype), (l, 0, pos, 0))
-        x, residual = fused_ffn(attn, residual, p["ffn_norm"][None],
-                                p["w13"], p["w2"], eps=cfg.norm_eps,
-                                kcfg=kcfg, interpret=interpret_mode())
+        x, residual = fused_ffn(attn, residual, lw["ffn_norm"][:, None],
+                                lw["w13"], lw["w2"], eps=cfg.norm_eps,
+                                kcfg=kcfg, interpret=interpret_mode(),
+                                layer_id=l)
         return (x.astype(attn.dtype), residual.astype(attn.dtype), kc, vc), None
 
     def eager_layer(carry, xs):
@@ -369,11 +383,20 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         x = _ffn(xn2, p["w13"], p["w2"])
         return (x, residual, kc, vc), None
 
-    layer_fn = fused_layer if fused else eager_layer
-    layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, residual, k_cache, v_cache), _ = jax.lax.scan(
-        layer_fn, (x, residual, k_cache, v_cache),
-        (params["layers"], layer_idx))
+    if fused:
+        x, residual, k_cache, v_cache = fused_decoder_stack(
+            x, lw["attn_norm"], lw["ffn_norm"], cos, sin,
+            lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
+            k_cache, v_cache, pos, group=g, head_dim=hd,
+            rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
+            interpret=interpret_mode())
+        x = x.astype(params["embed"].dtype)
+        residual = residual.astype(x.dtype)
+    else:
+        layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, residual, k_cache, v_cache), _ = jax.lax.scan(
+            eager_layer, (x, residual, k_cache, v_cache),
+            (params["layers"], layer_idx))
 
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"], cfg.norm_eps)
     if fused and cfg.vocab_size % 128 == 0:

@@ -63,6 +63,13 @@ _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
 
 
+def _m2(ref):
+    """Load a weight block and squeeze leading singleton block dims to 2D
+    (stacked [L, G, ...] weights add a leading 1 to every block)."""
+    w = ref[...]
+    return w.reshape(w.shape[-2], w.shape[-1])
+
+
 def _dequant_int4_tile(w_ref_val, s_val, gs: int):
     """Packed int4 tile [K/2, N] + group scales [K/gs, N] → bf16 [K, N].
     VPU-only (shifts/selects/broadcast); used when the scale varies along
@@ -111,15 +118,28 @@ def _decoder_layer_kernel(
     eps: float,
     wq_kind: str,     # "none" | "int8" | "int4" (weight-only quantization)
     gs_q: int,        # int4 group size along the reduction axis
+    emit_partials: bool = False,  # emit (acc, m, l) pre-O-proj for cross-
+                                  # chip sequence-parallel softmax merge
+    append_kv: bool = False,      # write the new token's K/V into the cache
+                                  # in-kernel (input_output_aliased)
 ):
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
-    wo_ref = next(it)
-    wo_s_ref = next(it) if wq_kind != "none" else None
+    wo_ref = next(it) if not emit_partials else None
+    wo_s_ref = next(it) if (wq_kind != "none" and not emit_partials) else None
     k_ref, v_ref = next(it), next(it)
-    out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
+    if emit_partials:
+        acc_out_ref, ml_out_ref, res_out_ref, knew_ref, vnew_ref = \
+            (next(it) for _ in range(5))
+        out_ref = None
+    else:
+        out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
+    kc_out_ref = next(it) if append_kv else None
+    vc_out_ref = next(it) if append_kv else None
     xnorm_s, q_s, acc_s, out_s, ml_s, kv_s = (next(it) for _ in range(6))
+    if append_kv:
+        krow_s, vrow_s, row_sem = (next(it) for _ in range(3))
     hg_id = pl.program_id(0)
     c_id = pl.program_id(1)
     n_chunks = pl.num_programs(1) - 1
@@ -136,7 +156,7 @@ def _decoder_layer_kernel(
             x = x + res_ref[...].astype(f32)
             res_out_ref[...] = x.astype(res_out_ref.dtype)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
-        xnorm_s[...] = x * jax.lax.rsqrt(var + eps) * rmsw_ref[...].astype(f32)
+        xnorm_s[...] = x * jax.lax.rsqrt(var + eps) * _m2(rmsw_ref).astype(f32)
         out_s[...] = jnp.zeros_like(out_s)
 
     # ---- per head group, step 0: QKV projection + RoPE + new-KV export -----
@@ -147,12 +167,12 @@ def _decoder_layer_kernel(
         # with the dot (per-output-column scale) → scale the [1, N] result;
         # INT4 group scales vary along the reduction → dequant the tile.
         if wq_kind == "none":
-            qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
         elif wq_kind == "int8":
-            qkv = jnp.dot(xn, wqkv_ref[0].astype(jnp.bfloat16),
-                          preferred_element_type=f32) * wqkv_s_ref[0]
+            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
+                          preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:  # int4
-            wb = _dequant_int4_tile(wqkv_ref[0], wqkv_s_ref[0], gs_q)
+            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
             qkv = jnp.dot(xn, wb, preferred_element_type=f32)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
@@ -170,6 +190,43 @@ def _decoder_layer_kernel(
                 qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
                                cos_f, sin_f, rope_style)
                 q_s[h * group + i: h * group + i + 1, :] = qi * scale
+        if append_kv:
+            # In-kernel cache append (the reference also writes KV
+            # in-kernel, `kernel_batch_sglang.cuh:340-346`): an explicit
+            # read-modify-write DMA of the 8-row tile containing position
+            # seq into the input_output_aliased HBM cache.  Keeping the
+            # append inside the kernel lets XLA keep the GB-scale cache
+            # buffer in place — an XLA-level dynamic_update_slice next to
+            # the opaque kernel call copies the whole cache per layer
+            # (measured 3x decode slowdown at 7B).  The RMW is 8 rows
+            # because HBM DMA slices must be sublane-aligned; rows < seq in
+            # the tile are rewritten unchanged and the new row at seq is
+            # excluded by every score mask, so in-flight chunk reads of the
+            # same buffer can't observe a torn value that matters.
+            cap_ = kc_out_ref.shape[2]
+            row = jnp.minimum(s_ref[0], cap_ - 1)
+            row8 = (row // 8) * 8
+            off = row - row8
+            layer = s_ref[1]
+            ksl = kc_out_ref.at[layer, pl.ds(hg_id * hg, hg), pl.ds(row8, 8)]
+            vsl = vc_out_ref.at[layer, pl.ds(hg_id * hg, hg), pl.ds(row8, 8)]
+            k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
+            v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
+            k_in.start()
+            v_in.start()
+            k_in.wait()
+            v_in.wait()
+            sub = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, hd), 1)
+            k_new8 = kv_s[:hg, :].astype(krow_s.dtype)[:, None, :]
+            v_new8 = kv_s[hg:, :].astype(vrow_s.dtype)[:, None, :]
+            krow_s[...] = jnp.where(sub == off, k_new8, krow_s[...])
+            vrow_s[...] = jnp.where(sub == off, v_new8, vrow_s[...])
+            k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
+            v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
+            k_out.start()
+            v_out.start()
+            k_out.wait()
+            v_out.wait()
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)    # running max
         ml_s[1, :] = jnp.zeros((rows,), f32)             # running sum
@@ -223,25 +280,37 @@ def _decoder_layer_kernel(
             v_rows = jnp.concatenate(
                 [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
                  for h in range(hg)], axis=0)
+        # fold the current token exactly once (`kernel.cuh:444-477`); under
+        # sequence-parallel sharding only the chip owning position `pos`
+        # folds it (prefetched flag s[2])
+        fold = (s_ref[2] == 1).astype(jnp.float32)
         s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)   # [rows, 1]
+        s_cur = jnp.where(fold == 1.0, s_cur, _NEG_INF)
         m_old = ml_s[0, :].reshape(rows, 1)
         l_old = ml_s[1, :].reshape(rows, 1)
         m_f = jnp.maximum(m_old, s_cur)
         alpha = jnp.exp2(m_old - m_f)
-        p_cur = jnp.exp2(s_cur - m_f)
+        p_cur = jnp.exp2(s_cur - m_f) * fold
         acc = acc_s[...] * alpha + p_cur * v_rows
         l_f = l_old * alpha + p_cur
+
+        if emit_partials:
+            acc_out_ref[0] = acc
+            ml_out_ref[0, 0, :] = m_f[:, 0]
+            ml_out_ref[0, 1, :] = l_f[:, 0]
+            return
+
         o = (acc / l_f).astype(jnp.bfloat16)             # [rows, hd]
         o_flat = o.reshape(1, rows * hd)
         # one N-wide dot: [1, rows·hd] @ [rows·hd, hidden]
         if wq_kind == "none":
-            out_s[...] += jnp.dot(o_flat, wo_ref[0],
+            out_s[...] += jnp.dot(o_flat, _m2(wo_ref),
                                   preferred_element_type=f32)
         elif wq_kind == "int8":
-            out_s[...] += jnp.dot(o_flat, wo_ref[0].astype(jnp.bfloat16),
-                                  preferred_element_type=f32) * wo_s_ref[0]
+            out_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
+                                  preferred_element_type=f32) * _m2(wo_s_ref)
         else:  # int4
-            wb = _dequant_int4_tile(wo_ref[0], wo_s_ref[0], gs_q)
+            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
             out_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
 
         @pl.when(hg_id == pl.num_programs(0) - 1)
@@ -267,6 +336,9 @@ def _fused_decoder_layer(
     eps: float,
     kcfg: KernelConfig,
     interpret: bool,
+    emit_partials: bool = False,
+    fold_current=1,
+    append_kv: bool = False,
 ):
     """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
     head_group):
@@ -295,10 +367,17 @@ def _fused_decoder_layer(
         wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
         wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
         wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
-        G, hidden, qkv_cols = wqkv_f.shape
+        wshape = wqkv_f.shape
     else:
-        G, hidden, qkv_cols = wqkv_f.shape
+        wshape = wqkv_f.shape
         wqkv_q, wo_q = wqkv_f, wo_f
+    # stacked mode: whole [L, ...] weight stacks are passed and the layer is
+    # picked inside the BlockSpec index maps (prefetched s[1]) — slicing the
+    # stack at the XLA level would materialize a fresh copy of every layer's
+    # weights per call, since a pallas operand (unlike a fused einsum) needs
+    # a real buffer (measured 3x decode slowdown at 7B)
+    stacked = len(wshape) == 4
+    G, hidden, qkv_cols = wshape[-3:]
     kv_heads = k_cache.shape[1]
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * head_dim
@@ -315,45 +394,84 @@ def _fused_decoder_layer(
         c = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
         return (s[1], g_i, c, 0)
 
-    def _g_spec(rows, cols):
-        return pl.BlockSpec((1, rows, cols), lambda g, c, s: (g, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if stacked:
+        def _g_spec(rows, cols):
+            return pl.BlockSpec((1, 1, rows, cols),
+                                lambda g, c, s: (s[1], g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        # [L, 1, hidden]: keeps the block's tiled trailing dims (1, hidden)
+        rmsw_spec = pl.BlockSpec((1, 1, hidden), lambda g, c, s: (s[1], 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        def _g_spec(rows, cols):
+            return pl.BlockSpec((1, rows, cols), lambda g, c, s: (g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        rmsw_spec = pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0),
+                                 memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+        rmsw_spec,
         pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hd), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
         _g_spec(hidden // pack, qkv_cols),
     ]
     inputs = [x, residual, rms_w, cos_f, sin_f, wqkv_q]
     if wq_kind != "none":
-        in_specs.append(_g_spec(wqkv_s.shape[1], qkv_cols))
+        in_specs.append(_g_spec(wqkv_s.shape[-2], qkv_cols))
         inputs.append(wqkv_s)
-    in_specs.append(_g_spec(wo_rows // pack, hidden))
-    inputs.append(wo_q)
-    if wq_kind != "none":
-        in_specs.append(_g_spec(wo_s.shape[1], hidden))
-        inputs.append(wo_s)
+    if not emit_partials:
+        in_specs.append(_g_spec(wo_rows // pack, hidden))
+        inputs.append(wo_q)
+        if wq_kind != "none":
+            in_specs.append(_g_spec(wo_s.shape[-2], hidden))
+            inputs.append(wo_s)
     in_specs += [
         pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, hg, chunk, hd), kv_index_map, memory_space=pltpu.VMEM),
     ]
+    # alias indices include the scalar-prefetch operand (index 0)
+    k_alias_idx = 1 + len(inputs)
     inputs += [k_cache, v_cache]
+
+    assert not (append_kv and emit_partials), \
+        "sequence-parallel partials append via the caller (owner chip only)"
+
+    if emit_partials:
+        out_specs = (
+            pl.BlockSpec((1, hg * group, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hg * group), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        if append_kv:
+            # whole-array HBM refs: the kernel DMAs the new row in itself
+            out_specs = out_specs + (
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G, n_chunks + 1),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda g, c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, hd), lambda g, c, s: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, hidden), jnp.float32),            # x_norm
             pltpu.VMEM((hg * group, hd), jnp.float32),       # q (scaled, rope'd)
@@ -361,42 +479,88 @@ def _fused_decoder_layer(
             pltpu.VMEM((1, hidden), jnp.float32),            # output accumulator
             pltpu.VMEM((2, hg * group), jnp.float32),        # running (m, l)
             pltpu.VMEM((2 * hg, hd), jnp.float32),           # current (k, v)
-        ],
+        ] + ([
+            pltpu.VMEM((hg, 8, hd), k_cache.dtype),          # K append RMW tile
+            pltpu.VMEM((hg, 8, hd), v_cache.dtype),          # V append RMW tile
+            pltpu.SemaphoreType.DMA((2,)),                   # row-append DMA
+        ] if append_kv else []),
     )
 
     kernel = functools.partial(
         _decoder_layer_kernel,
         hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
-        wq_kind=wq_kind, gs_q=gs_q,
+        wq_kind=wq_kind, gs_q=gs_q, emit_partials=emit_partials,
+        append_kv=append_kv,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \
         + 2 * kv_heads * group * cap * hd * 2 \
         + 2 * kv_heads * group * hd * hidden
     nbytes = (wqkv_q.size * wqkv_q.dtype.itemsize
-              + wo_q.size * wo_q.dtype.itemsize) \
+              + (0 if emit_partials else wo_q.size * wo_q.dtype.itemsize)) \
         + 2 * kv_heads * cap * hd * k_cache.dtype.itemsize
 
     seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
-                         jnp.asarray(layer_id, jnp.int32).reshape(())])
+                         jnp.asarray(layer_id, jnp.int32).reshape(()),
+                         jnp.asarray(fold_current, jnp.int32).reshape(())])
 
-    out, res_out, k_new, v_new = pl.pallas_call(
+    if emit_partials:
+        acc, ml, res_out, k_new, v_new = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((G, hg * group, hd), jnp.float32),
+                jax.ShapeDtypeStruct((G, 2, hg * group), jnp.float32),
+                jax.ShapeDtypeStruct((1, hidden), dt),
+                jax.ShapeDtypeStruct((G, hg, hd), dt),
+                jax.ShapeDtypeStruct((G, hg, hd), dt),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=kcfg.vmem_limit_bytes,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=nbytes,
+                transcendentals=kv_heads * cap),
+            interpret=interpret,
+        )(seq_arr, *inputs)
+        rows = kv_heads * group
+        return (acc.reshape(rows, hd),
+                ml.transpose(1, 0, 2).reshape(2, rows),
+                res_out,
+                k_new.reshape(kv_heads, hd), v_new.reshape(kv_heads, hd))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((1, hidden), dt),
+        jax.ShapeDtypeStruct((1, hidden), dt),
+        jax.ShapeDtypeStruct((G, hg, hd), dt),
+        jax.ShapeDtypeStruct((G, hg, hd), dt),
+    )
+    aliases = {}
+    if append_kv:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        )
+        aliases = {k_alias_idx: 4, k_alias_idx + 1: 5}
+
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, hidden), dt),
-            jax.ShapeDtypeStruct((1, hidden), dt),
-            jax.ShapeDtypeStruct((G, hg, hd), dt),
-            jax.ShapeDtypeStruct((G, hg, hd), dt),
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=kcfg.vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=nbytes, transcendentals=kv_heads * cap),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(seq_arr, *inputs)
+    out, res_out, k_new, v_new = results[:4]
+    if append_kv:
+        return (out, res_out,
+                k_new.reshape(kv_heads, hd), v_new.reshape(kv_heads, hd),
+                results[4], results[5])
     return (out, res_out,
             k_new.reshape(kv_heads, hd), v_new.reshape(kv_heads, hd))
 

@@ -10,7 +10,7 @@ stock-XLA M=1 GEMV runs ~4× off HBM speed-of-light (MXU pipeline bound), so
 fusing it is the single biggest end-to-end win.
 
 Structure: grid over ``ffn`` column blocks.  Step j streams w13 block
-[hidden, 2, BF] and w2 block [BF, hidden]; computes the gate/up slice, the
+[2, hidden, BF] and w2 block [BF, hidden]; computes the gate/up slice, the
 activation, and accumulates the down-projection partial — both dots are
 N-wide, so the kernel is HBM-bound.  The ffn dim is padded to a multiple of
 the block at weight-build time (zero columns are exact no-ops through
@@ -43,7 +43,7 @@ def ffn_block_size(ffn_dim: int, target: int = 1024) -> int:
 
 
 def pad_ffn_weights(w13, w2, block: int):
-    """Zero-pad [h, 2, f] / [f, h] so ``block`` divides f."""
+    """Zero-pad [2, h, f] / [f, h] so ``block`` divides f."""
     f = w2.shape[0]
     f_pad = round_up(f, block)
     if f_pad != f:
@@ -52,7 +52,19 @@ def pad_ffn_weights(w13, w2, block: int):
     return w13, w2
 
 
-def _ffn_kernel(x_ref, res_ref, normw_ref, *refs,
+def _r3(ref):
+    """Load a block and squeeze leading singleton dims to 3D (stacked
+    [L, ...] weights add a leading 1 to every block)."""
+    w = ref[...]
+    return w.reshape(w.shape[-3], w.shape[-2], w.shape[-1])
+
+
+def _r2(ref):
+    w = ref[...]
+    return w.reshape(w.shape[-2], w.shape[-1])
+
+
+def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
                 hidden: int, bf: int, eps: float, fuse_residual: bool,
                 wq_kind: str, gs_q: int):
     it = iter(refs)
@@ -72,38 +84,45 @@ def _ffn_kernel(x_ref, res_ref, normw_ref, *refs,
             res_out_ref[...] = x.astype(res_out_ref.dtype)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         xnorm_s[...] = (x * jax.lax.rsqrt(var + eps)
-                        * normw_ref[...].astype(f32)).astype(jnp.bfloat16)
+                        * _r2(normw_ref).astype(f32)).astype(jnp.bfloat16)
         out_s[...] = jnp.zeros_like(out_s)
 
     xn = xnorm_s[...]                                     # [1, hidden] bf16
-    # gate/up projection: INT8 per-column scale commutes with the dot
-    # (applied to the [1, 2·bf] result); INT4 group scales don't — the tile
-    # is dequantized on the VPU before the dot.
+    # gate/up projection, one dot per plane of w13 [2, hidden, bf] (the
+    # gate/up axis leads — in tiled position a size-2 dim pads 2-8x in HBM).
+    # INT8 per-column scale commutes with the dot (applied to the [1, bf]
+    # results); INT4 group scales don't — tiles are dequantized on the VPU.
+    w = _r3(w13_ref)
     if wq_kind == "none":
-        w13 = w13_ref[...].reshape(hidden, 2 * bf)        # [gate | up]
-        y = jnp.dot(xn, w13, preferred_element_type=f32)  # [1, 2·bf]
+        y_g = jnp.dot(xn, w[0], preferred_element_type=f32)   # [1, bf]
+        y_u = jnp.dot(xn, w[1], preferred_element_type=f32)
     elif wq_kind == "int8":
-        w13 = w13_ref[...].reshape(hidden, 2 * bf).astype(jnp.bfloat16)
-        y = jnp.dot(xn, w13, preferred_element_type=f32) \
-            * w13_s_ref[...].reshape(1, 2 * bf)
+        s = _r3(w13_s_ref)                                # [2, 1, bf]
+        y_g = jnp.dot(xn, w[0].astype(jnp.bfloat16),
+                      preferred_element_type=f32) * s[0]
+        y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
+                      preferred_element_type=f32) * s[1]
     else:  # int4: packed rows pair r with r+hidden/2 → concat restores order
-        w8 = w13_ref[...].reshape(hidden // 2, 2 * bf)
-        w13 = unpack_int4(w8, 0).astype(f32) \
-            * expand_group_scales(w13_s_ref[...].reshape(-1, 2 * bf), 0, gs_q)
-        y = jnp.dot(xn, w13.astype(jnp.bfloat16), preferred_element_type=f32)
-    act = (jax.nn.silu(y[:, :bf]) * y[:, bf:]).astype(jnp.bfloat16)
+        s = _r3(w13_s_ref)                                # [2, h/gs, bf]
+        wg = (unpack_int4(w[0], 0).astype(f32)
+              * expand_group_scales(s[0], 0, gs_q)).astype(jnp.bfloat16)
+        wu = (unpack_int4(w[1], 0).astype(f32)
+              * expand_group_scales(s[1], 0, gs_q)).astype(jnp.bfloat16)
+        y_g = jnp.dot(xn, wg, preferred_element_type=f32)
+        y_u = jnp.dot(xn, wu, preferred_element_type=f32)
+    act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
     # down projection: INT4 packs along *hidden* (the output axis) so each
     # f-block stays self-contained; its group scales live along f (rows).
     if wq_kind == "none":
-        out_s[...] += jnp.dot(act, w2_ref[...], preferred_element_type=f32)
+        out_s[...] += jnp.dot(act, _r2(w2_ref), preferred_element_type=f32)
     elif wq_kind == "int8":
         # per-output-column scale is constant across f-blocks → applied once
         # at the final store below
-        out_s[...] += jnp.dot(act, w2_ref[...].astype(jnp.bfloat16),
+        out_s[...] += jnp.dot(act, _r2(w2_ref).astype(jnp.bfloat16),
                               preferred_element_type=f32)
     else:  # int4
-        w2 = unpack_int4(w2_ref[...], 1).astype(f32) \
-            * expand_group_scales(w2_s_ref[...], 0, gs_q)
+        w2 = unpack_int4(_r2(w2_ref), 1).astype(f32) \
+            * expand_group_scales(_r2(w2_s_ref), 0, gs_q)
         out_s[...] += jnp.dot(act, w2.astype(jnp.bfloat16),
                               preferred_element_type=f32)
 
@@ -111,17 +130,24 @@ def _ffn_kernel(x_ref, res_ref, normw_ref, *refs,
     def _():
         out = out_s[...]
         if wq_kind == "int8":
-            out = out * w2_s_ref[...]
+            out = out * _r2(w2_s_ref)
         out_ref[...] = out.astype(out_ref.dtype)
 
 
 def fused_ffn(x, residual, norm_w, w13, w2,
               *, eps: float, kcfg: KernelConfig = KernelConfig(),
-              fuse_residual: bool = True, interpret=None):
+              fuse_residual: bool = True, interpret=None, layer_id=0):
     """h = x (+ residual); returns (ffn(rmsnorm(h)·w), h).
 
-    x/residual: [1, hidden]; norm_w: [1, hidden]; w13: [hidden, 2, f_pad]
-    (block-padded, see ``pad_ffn_weights``); w2: [f_pad, hidden]."""
+    x/residual: [1, hidden]; norm_w: [1, hidden]; w13: [2, hidden, f_pad]
+    (stacked (w1, w3), block-padded — see ``pad_ffn_weights``);
+    w2: [f_pad, hidden].
+
+    Stacked mode: pass the whole per-layer weight stacks (w13 [L, 2, h, f],
+    w2 [L, f, h], norm_w [L, h]) plus ``layer_id`` — the layer is picked in
+    the BlockSpec index maps, so a layer-scanned caller never slices the
+    stack at the XLA level (a pallas operand needs a real buffer, so an XLA
+    slice materializes a full copy of the layer's weights per call)."""
     if interpret is None:
         interpret = interpret_mode()
     hidden = x.shape[-1]
@@ -134,58 +160,87 @@ def fused_ffn(x, residual, norm_w, w13, w2,
         wq_kind, gs_q = w13.kind, w13.group_size
         w13_s = w13.s.astype(jnp.float32)
         w2_s = w2.s.astype(jnp.float32)
-        f_pad = w2.shape[0]
+        stacked = len(w2.shape) == 3
+        f_pad = w2.shape[-2]
         w13, w2 = w13.q, w2.q
     else:
-        f_pad = w2.shape[0]
+        stacked = w2.ndim == 3
+        f_pad = w2.shape[-2]
     bf = ffn_block_size(f_pad)
     assert f_pad % bf == 0, (f_pad, bf)
     nb = f_pad // bf
     pack = 2 if wq_kind == "int4" else 1
 
+    if stacked:
+        def L(idx_fn):
+            return lambda j, s: (s[0],) + idx_fn(j)
+    else:
+        def L(idx_fn):
+            return lambda j, s: idx_fn(j)
+
+    def vec_spec(stk):
+        # stacked norms arrive as [L, 1, hidden] so the block's tiled
+        # trailing dims are (1, hidden)
+        if stk:
+            return pl.BlockSpec((1, 1, hidden), lambda j, s: (s[0], 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, hidden), lambda j, s: (0, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
-        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((hidden // pack, 2, bf), lambda j: (0, 0, j),
-                     memory_space=pltpu.VMEM),
+        vec_spec(False),                       # x
+        vec_spec(False),                       # residual
+        vec_spec(stacked),                     # norm_w
+        pl.BlockSpec(((1,) if stacked else ()) + (2, hidden // pack, bf),
+                     L(lambda j: (0, 0, j)), memory_space=pltpu.VMEM),
     ]
     inputs = [x, residual, norm_w, w13]
     if wq_kind != "none":
-        in_specs.append(pl.BlockSpec((w13_s.shape[0], 2, bf),
-                                     lambda j: (0, 0, j),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            ((1,) if stacked else ()) + (2, w13_s.shape[-2], bf),
+            L(lambda j: (0, 0, j)), memory_space=pltpu.VMEM))
         inputs.append(w13_s)
-    in_specs.append(pl.BlockSpec((bf, hidden // pack), lambda j: (j, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(
+        ((1,) if stacked else ()) + (bf, hidden // pack),
+        L(lambda j: (j, 0)), memory_space=pltpu.VMEM))
     inputs.append(w2)
     if wq_kind == "int8":
-        in_specs.append(pl.BlockSpec((1, hidden), lambda j: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            ((1,) if stacked else ()) + (1, hidden),
+            L(lambda j: (0, 0)), memory_space=pltpu.VMEM))
         inputs.append(w2_s)
     elif wq_kind == "int4":
-        in_specs.append(pl.BlockSpec((bf // gs_q, hidden), lambda j: (j, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            ((1,) if stacked else ()) + (bf // gs_q, hidden),
+            L(lambda j: (j, 0)), memory_space=pltpu.VMEM))
         inputs.append(w2_s)
 
-    out, res_out = pl.pallas_call(
-        functools.partial(_ffn_kernel, hidden=hidden, bf=bf, eps=eps,
-                          fuse_residual=fuse_residual,
-                          wq_kind=wq_kind, gs_q=gs_q),
+    meta = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, hidden), dt),
-            jax.ShapeDtypeStruct((1, hidden), dt),
+            pl.BlockSpec((1, hidden), lambda j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, hidden), jnp.bfloat16),
             pltpu.VMEM((1, hidden), jnp.float32),
         ],
+    )
+
+    out, res_out = pl.pallas_call(
+        functools.partial(_ffn_kernel, hidden=hidden, bf=bf, eps=eps,
+                          fuse_residual=fuse_residual,
+                          wq_kind=wq_kind, gs_q=gs_q),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((1, hidden), dt),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=kcfg.vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(
@@ -193,5 +248,5 @@ def fused_ffn(x, residual, norm_w, w13, w2,
             bytes_accessed=3 * hidden * f_pad * dt.itemsize // pack,
             transcendentals=f_pad),
         interpret=interpret,
-    )(*inputs)
+    )(meta, *inputs)
     return out, res_out

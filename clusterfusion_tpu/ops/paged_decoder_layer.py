@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
-from clusterfusion_tpu.ops.decoder_layer import _rope_vec, _pick_head_group
+from clusterfusion_tpu.ops.decoder_layer import (_m2, _pick_head_group,
+                                                 _rope_vec)
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -92,7 +93,7 @@ def _paged_kernel(
     @pl.when(c_id == 0)
     def _():
         xn = xnorm_s[...].astype(jnp.bfloat16)
-        qkv = jnp.dot(xn, wqkv_ref[0], preferred_element_type=f32)
+        qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
         cos_f = cos_ref[0].astype(f32)
         sin_f = sin_ref[0].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -167,7 +168,7 @@ def _paged_kernel(
         l_f = l_old * alpha + p_cur
         o = (acc / l_f).astype(jnp.bfloat16)
         o_flat = o.reshape(1, rows * hd)
-        out_s[...] += jnp.dot(o_flat, wo_ref[0], preferred_element_type=f32)
+        out_s[...] += jnp.dot(o_flat, _m2(wo_ref), preferred_element_type=f32)
 
         @pl.when(g_id == pl.num_programs(1) - 1)
         def _():
@@ -207,7 +208,11 @@ def llama_decoder_layer_paged(
     if interpret is None:
         interpret = interpret_mode()
     B, hidden = input.shape
-    G, _, qkv_cols = wqkv_g.shape
+    # stacked mode: [L, G, hidden, cols] weight stacks, layer picked by the
+    # prefetched meta scalar in the index maps (slicing the stack at the XLA
+    # level would copy the layer's weights per call — see ops.stack_kernel)
+    stacked = wqkv_g.ndim == 4
+    G, _, qkv_cols = wqkv_g.shape[-3:]
     L, n_pages, page, kv_heads, hd = k_pool.shape
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * hd
@@ -240,8 +245,16 @@ def llama_decoder_layer_paged(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hidden, qkv_cols),
+                         lambda b, g, c, *s: (s[0][0], g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if stacked else
             pl.BlockSpec((1, hidden, qkv_cols), lambda b, g, c, *s: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hg * group * hd, hidden),
+                         lambda b, g, c, *s: (s[0][0], g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if stacked else
             pl.BlockSpec((1, hg * group * hd, hidden),
                          lambda b, g, c, *s: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,

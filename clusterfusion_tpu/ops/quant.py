@@ -172,7 +172,7 @@ def quantize(w: jnp.ndarray, kind: str, axis: int, group_size: int = 128,
 # w2 [f, hidden] is consumed in f-blocks by the FFN kernel, so int4 packs
 # along hidden (the output axis) to keep each block self-contained.
 _WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
-                "w13": (-3, -3), "w2": (-2, -1)}
+                "w13": (-2, -2), "w2": (-2, -1)}
 
 
 def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,

@@ -1,0 +1,472 @@
+"""Whole-stack decoder megakernel: ALL transformer layers — attention half
+AND SwiGLU FFN — as ONE Pallas kernel call per decode step.
+
+The reference's contribution is one kernel launch per *layer's attention
+half* (`kernel.cuh:20-619`), with FFN and the layer loop left to the host
+framework.  On TPU the same design principle (widen the fusion scope until
+communication disappears) goes further: weights for every layer live in
+stacked [L, ...] arrays, so one kernel with grid (L, phases) walks the
+entire stack while Pallas's pipeline streams each phase's weight block —
+the next layer's QKV tile is in flight while this layer's FFN still
+computes.  One launch per token removes every kernel-boundary bubble
+(measured: 32 x 2 kernel launches/token leave ~7% of decode time in
+boundaries where no weight DMA is in flight).
+
+Phase layout within a layer (grid dim 1, T = G*(nc+1) + nb steps):
+
+  t = 0:                residual-add + attn RMSNorm (+ g=0 QKV projection)
+  t in [0, G*(nc+1)):   attention: g = t//(nc+1) head groups, per group one
+                        projection step then nc KV-chunk flash-decode steps
+                        with the online-softmax state in scratch; the
+                        group's final step folds the current token and
+                        accumulates the O-projection partial
+  t = G*(nc+1):         attn-out residual-add + FFN RMSNorm
+  t in [TA, TA + nb):   FFN: gate/up dot on w13 block j, SiLU*up, w2
+                        down-projection partial accumulation
+  last t of layer L-1:  write (x_out, residual_out)
+
+The hidden-state pair (x, residual) is carried across layers in VMEM
+scratch — layers never round-trip through HBM.  The new token's K/V is
+appended to the input_output_aliased cache by an in-kernel RMW DMA, and
+during FFN phases every attention operand's index map pins its last block
+so nothing is re-fetched.  INT8/INT4 weights dequantize in-kernel exactly
+as in ops.decoder_layer / ops.ffn; fp8 KV caches cast at the dots.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clusterfusion_tpu.config import KernelConfig
+from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.decoder_layer import (
+    _dequant_int4_tile, _m2, _rope_vec)
+from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
+from clusterfusion_tpu.ops.quant import QuantizedTensor
+
+_LOG2E = 1.4426950408889634
+_NEG_INF = -1e30
+
+
+def _stack_kernel(
+    s_ref,                        # [pos]
+    x_ref, an_ref, fn_ref, cos_ref, sin_ref,
+    *refs,
+    hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
+    bf: int, nb: int, hidden: int,
+    rope_style: str, eps: float, wq_kind: str, gs_q: int,
+):
+    it = iter(refs)
+    wqkv_ref = next(it)
+    wqkv_s_ref = next(it) if wq_kind != "none" else None
+    wo_ref = next(it)
+    wo_s_ref = next(it) if wq_kind != "none" else None
+    w13_ref = next(it)
+    w13_s_ref = next(it) if wq_kind != "none" else None
+    w2_ref = next(it)
+    w2_s_ref = next(it) if wq_kind != "none" else None
+    k_ref, v_ref = next(it), next(it)
+    hx_out_ref, res_out_ref, kc_out_ref, vc_out_ref = \
+        (next(it) for _ in range(4))
+    (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
+     krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
+
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    TA = G * (nc + 1)
+    seq = s_ref[0]
+    hd = head_dim
+    rows = hg * group
+    f32 = jnp.float32
+
+    # ---- layer entry: residual add + attention RMSNorm ----------------------
+    @pl.when(t == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            hx_s[...] = x_ref[...].astype(f32)
+            res_s[...] = jnp.zeros_like(res_s)
+        r1 = hx_s[...] + res_s[...]
+        res_s[...] = r1
+        var = jnp.mean(r1 * r1, axis=-1, keepdims=True)
+        xnorm_s[...] = r1 * jax.lax.rsqrt(var + eps) * _m2(an_ref).astype(f32)
+        aout_s[...] = jnp.zeros_like(aout_s)
+
+    # ---- attention phases ----------------------------------------------------
+    in_attn = t < TA
+    tt = jnp.minimum(t, TA - 1)
+    g_id = tt // (nc + 1)
+    c_id = tt % (nc + 1)
+
+    @pl.when(jnp.logical_and(in_attn, c_id == 0))
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)
+        if wq_kind == "none":
+            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
+        elif wq_kind == "int8":
+            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
+                          preferred_element_type=f32) * _m2(wqkv_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
+            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+        cos_f = cos_ref[...].astype(f32)
+        sin_f = sin_ref[...].astype(f32)
+        scale = (1.0 / math.sqrt(hd)) * _LOG2E
+        for h in range(hg):
+            base = h * (group + 2) * hd
+            k = _rope_vec(qkv[:, base + group * hd: base + (group + 1) * hd],
+                          cos_f, sin_f, rope_style)
+            v = qkv[:, base + (group + 1) * hd: base + (group + 2) * hd]
+            kv_s[h:h + 1, :] = k
+            kv_s[hg + h:hg + h + 1, :] = v
+            for i in range(group):
+                qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
+                               cos_f, sin_f, rope_style)
+                q_s[h * group + i: h * group + i + 1, :] = qi * scale
+        # in-kernel cache append: aligned 8-row RMW DMA into the aliased
+        # cache (see ops.decoder_layer for the full rationale)
+        cap_ = kc_out_ref.shape[2]
+        row = jnp.minimum(seq, cap_ - 1)
+        row8 = (row // 8) * 8
+        off = row - row8
+        ksl = kc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, 8)]
+        vsl = vc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, 8)]
+        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
+        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
+        k_in.start()
+        v_in.start()
+        k_in.wait()
+        v_in.wait()
+        sub = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, hd), 1)
+        krow_s[...] = jnp.where(sub == off,
+                                kv_s[:hg, :].astype(krow_s.dtype)[:, None, :],
+                                krow_s[...])
+        vrow_s[...] = jnp.where(sub == off,
+                                kv_s[hg:, :].astype(vrow_s.dtype)[:, None, :],
+                                vrow_s[...])
+        k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
+        v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
+        k_out.start()
+        v_out.start()
+        k_out.wait()
+        v_out.wait()
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
+        ml_s[1, :] = jnp.zeros((rows,), f32)
+
+    c = c_id - 1
+    @pl.when(jnp.logical_and(in_attn,
+                             jnp.logical_and(c_id >= 1, c * kv_chunk < seq)))
+    def _():
+        pos_base = c * kv_chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
+        row_valid = (pos_base + row_iota) < seq
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
+        col_valid = (pos_base + col_iota) < seq
+        for h in range(hg):
+            q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
+            kc = k_ref[0, h].astype(jnp.bfloat16)
+            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
+            scores = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            scores = jnp.where(col_valid, scores, _NEG_INF)
+            m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
+            l_old = ml_s[1, h * group:(h + 1) * group].reshape(group, 1)
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            acc_s[h * group:(h + 1) * group, :] = \
+                acc_s[h * group:(h + 1) * group, :] * alpha + pv
+            ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]
+            ml_s[1, h * group:(h + 1) * group] = \
+                (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    @pl.when(jnp.logical_and(in_attn, c_id == nc))
+    def _():
+        q = q_s[...]
+        k_cur = kv_s[:hg, :]
+        v_cur = kv_s[hg:, :]
+        if group == 1:
+            k_rows, v_rows = k_cur, v_cur
+        else:
+            k_rows = jnp.concatenate(
+                [pltpu.repeat(k_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+            v_rows = jnp.concatenate(
+                [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
+                 for h in range(hg)], axis=0)
+        s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)
+        m_old = ml_s[0, :].reshape(rows, 1)
+        l_old = ml_s[1, :].reshape(rows, 1)
+        m_f = jnp.maximum(m_old, s_cur)
+        alpha = jnp.exp2(m_old - m_f)
+        p_cur = jnp.exp2(s_cur - m_f)
+        acc = acc_s[...] * alpha + p_cur * v_rows
+        l_f = l_old * alpha + p_cur
+        o = (acc / l_f).astype(jnp.bfloat16)
+        o_flat = o.reshape(1, rows * hd)
+        if wq_kind == "none":
+            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref),
+                                   preferred_element_type=f32)
+        elif wq_kind == "int8":
+            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
+                                   preferred_element_type=f32) * _m2(wo_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+            aout_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+
+    # ---- FFN phases ------------------------------------------------------------
+    @pl.when(t == TA)
+    def _():
+        r2 = aout_s[...] + res_s[...]
+        res_s[...] = r2
+        var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
+        xnorm_s[...] = r2 * jax.lax.rsqrt(var + eps) * _m2(fn_ref).astype(f32)
+        ffn_s[...] = jnp.zeros_like(ffn_s)
+
+    @pl.when(t >= TA)
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)
+        w = _r3(w13_ref)
+        if wq_kind == "none":
+            y_g = jnp.dot(xn, w[0], preferred_element_type=f32)
+            y_u = jnp.dot(xn, w[1], preferred_element_type=f32)
+        elif wq_kind == "int8":
+            s = _r3(w13_s_ref)
+            y_g = jnp.dot(xn, w[0].astype(jnp.bfloat16),
+                          preferred_element_type=f32) * s[0]
+            y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
+                          preferred_element_type=f32) * s[1]
+        else:
+            from clusterfusion_tpu.ops.quant import (expand_group_scales,
+                                                     unpack_int4)
+            s = _r3(w13_s_ref)
+            wg = (unpack_int4(w[0], 0).astype(f32)
+                  * expand_group_scales(s[0], 0, gs_q)).astype(jnp.bfloat16)
+            wu = (unpack_int4(w[1], 0).astype(f32)
+                  * expand_group_scales(s[1], 0, gs_q)).astype(jnp.bfloat16)
+            y_g = jnp.dot(xn, wg, preferred_element_type=f32)
+            y_u = jnp.dot(xn, wu, preferred_element_type=f32)
+        act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
+        if wq_kind == "none":
+            ffn_s[...] += jnp.dot(act, _m2(w2_ref),
+                                  preferred_element_type=f32)
+        elif wq_kind == "int8":
+            ffn_s[...] += jnp.dot(act, _m2(w2_ref).astype(jnp.bfloat16),
+                                  preferred_element_type=f32)
+        else:
+            from clusterfusion_tpu.ops.quant import (expand_group_scales,
+                                                     unpack_int4)
+            w2v = unpack_int4(_m2(w2_ref), 1).astype(f32) \
+                * expand_group_scales(_m2(w2_s_ref), 0, gs_q)
+            ffn_s[...] += jnp.dot(act, w2v.astype(jnp.bfloat16),
+                                  preferred_element_type=f32)
+
+    # ---- layer exit ------------------------------------------------------------
+    @pl.when(t == TA + nb - 1)
+    def _():
+        out = ffn_s[...]
+        if wq_kind == "int8":
+            out = out * _m2(w2_s_ref)
+        hx_s[...] = out
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _():
+            hx_out_ref[...] = out.astype(hx_out_ref.dtype)
+            res_out_ref[...] = res_s[...].astype(res_out_ref.dtype)
+
+
+def fused_decoder_stack(
+    x, attn_norm, ffn_norm, cos, sin, wqkv_f, wo_f, w13, w2,
+    k_cache, v_cache, pos,
+    *,
+    group: int,
+    head_dim: int,
+    rope_style: str,
+    eps: float,
+    kcfg: KernelConfig = KernelConfig(),
+    interpret=None,
+):
+    """One kernel call for the whole decoder stack (bs=1 decode).
+
+    x: [1, hidden]; attn_norm/ffn_norm: [L, hidden];
+    wqkv_f: [L, G, hidden, hg*(group+2)*hd]; wo_f: [L, G, hg*group*hd, hidden]
+    (or QuantizedTensors); w13: [L, 2, hidden, f_pad]; w2: [L, f_pad, hidden];
+    k_cache/v_cache: [L, kv_heads, capacity, head_dim]; pos: int32 scalar.
+
+    Returns (x_out [1, hidden], residual_out [1, hidden], k_cache', v_cache')
+    with the new token's K/V appended in place for every layer.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    hidden = x.shape[-1]
+    hd = head_dim
+    dt = x.dtype
+    L_, kv_heads, cap, _ = k_cache.shape
+
+    wq_kind, gs_q = "none", 0
+    wqkv_q = wqkv_s = wo_q = wo_s = w13_q = w13_s = w2_q = w2_s = None
+    if isinstance(wqkv_f, QuantizedTensor):
+        wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
+        w13_q, w13_s = w13.q, w13.s.astype(jnp.float32)
+        w2_q, w2_s = w2.q, w2.s.astype(jnp.float32)
+        G = wqkv_f.shape[1]
+        qkv_cols = wqkv_f.shape[-1]
+        f_pad = w2.shape[-2]
+    else:
+        wqkv_q, wo_q, w13_q, w2_q = wqkv_f, wo_f, w13, w2
+        G = wqkv_f.shape[1]
+        qkv_cols = wqkv_f.shape[-1]
+        f_pad = w2.shape[-2]
+    hg = kv_heads // G
+    assert qkv_cols == hg * (group + 2) * hd
+    pack = 2 if wq_kind == "int4" else 1
+
+    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    nc = max(cdiv(cap, chunk), 1)
+    bf = ffn_block_size(f_pad)
+    nb = f_pad // bf
+    TA = G * (nc + 1)
+    T = TA + nb
+    wo_rows = hg * group * hd
+
+    # ---- index maps: attention operands pin their last block during FFN
+    # phases (no re-fetch); w13/w2 pin block 0 during attention (prefetch)
+    def g_of(t):
+        return jnp.minimum(t, TA - 1) // (nc + 1)
+
+    def j_of(t):
+        return jnp.maximum(t - TA, 0)
+
+    def kv_index_map(l, t, s):
+        tt = jnp.minimum(t, TA - 1)
+        c_i = tt % (nc + 1)
+        last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
+        cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        return (l, g_of(t), cix, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),                    # x
+        pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+                     memory_space=pltpu.VMEM),                    # attn_norm
+        pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+                     memory_space=pltpu.VMEM),                    # ffn_norm
+        pl.BlockSpec((1, hd), lambda l, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),                    # cos
+        pl.BlockSpec((1, hd), lambda l, t, s: (0, 0),
+                     memory_space=pltpu.VMEM),                    # sin
+    ]
+    inputs = [x, attn_norm[:, None], ffn_norm[:, None], cos, sin]
+
+    def add(arr, spec):
+        in_specs.append(spec)
+        inputs.append(arr)
+
+    add(wqkv_q, pl.BlockSpec((1, 1, hidden // pack, qkv_cols),
+                             lambda l, t, s: (l, g_of(t), 0, 0),
+                             memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(wqkv_s, pl.BlockSpec((1, 1, wqkv_s.shape[-2], qkv_cols),
+                                 lambda l, t, s: (l, g_of(t), 0, 0),
+                                 memory_space=pltpu.VMEM))
+    add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
+                           lambda l, t, s: (l, g_of(t), 0, 0),
+                           memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(wo_s, pl.BlockSpec((1, 1, wo_s.shape[-2], hidden),
+                               lambda l, t, s: (l, g_of(t), 0, 0),
+                               memory_space=pltpu.VMEM))
+    add(w13_q, pl.BlockSpec((1, 2, hidden // pack, bf),
+                            lambda l, t, s: (l, 0, 0, j_of(t)),
+                            memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(w13_s, pl.BlockSpec((1, 2, w13_s.shape[-2], bf),
+                                lambda l, t, s: (l, 0, 0, j_of(t)),
+                                memory_space=pltpu.VMEM))
+    add(w2_q, pl.BlockSpec((1, bf, hidden // pack),
+                           lambda l, t, s: (l, j_of(t), 0),
+                           memory_space=pltpu.VMEM))
+    if wq_kind == "int8":
+        add(w2_s, pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+                               memory_space=pltpu.VMEM))
+    elif wq_kind == "int4":
+        add(w2_s, pl.BlockSpec((1, bf // gs_q, hidden),
+                               lambda l, t, s: (l, j_of(t), 0),
+                               memory_space=pltpu.VMEM))
+    k_alias_idx = 1 + len(inputs)
+    add(k_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                              memory_space=pltpu.VMEM))
+    add(v_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                              memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L_, T),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),        # xnorm
+            pltpu.VMEM((hg * group, hd), jnp.float32),   # q
+            pltpu.VMEM((hg * group, hd), jnp.float32),   # softmax acc
+            pltpu.VMEM((1, hidden), jnp.float32),        # attn out
+            pltpu.VMEM((2, hg * group), jnp.float32),    # (m, l)
+            pltpu.VMEM((2 * hg, hd), jnp.float32),       # current k/v
+            pltpu.VMEM((1, hidden), jnp.float32),        # hx carry
+            pltpu.VMEM((1, hidden), jnp.float32),        # residual carry
+            pltpu.VMEM((1, hidden), jnp.float32),        # ffn acc
+            pltpu.VMEM((hg, 8, hd), k_cache.dtype),      # K append RMW
+            pltpu.VMEM((hg, 8, hd), v_cache.dtype),      # V append RMW
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _stack_kernel, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
+        nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, rope_style=rope_style,
+        eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+
+    wbytes = sum(w.size * w.dtype.itemsize
+                 for w in (wqkv_q, wo_q, w13_q, w2_q))
+    flops = 2 * L_ * (hidden * (group + 2) * hd * kv_heads
+                      + kv_heads * group * cap * hd * 2
+                      + kv_heads * group * hd * hidden
+                      + 3 * hidden * f_pad)
+    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_cache.dtype.itemsize
+
+    seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    x_out, res_out, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nbytes,
+            transcendentals=L_ * (kv_heads * cap + f_pad)),
+        input_output_aliases={k_alias_idx: 2, k_alias_idx + 1: 3},
+        interpret=interpret,
+    )(seq_arr, *inputs)
+    return x_out, res_out, kc, vc

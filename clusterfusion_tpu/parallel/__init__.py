@@ -12,6 +12,11 @@ from clusterfusion_tpu.parallel.sharding import (
     shard_params,
 )
 from clusterfusion_tpu.parallel.decode import make_sharded_decode_step
+from clusterfusion_tpu.parallel.sp_decode import (
+    cache_pspec_2d,
+    cache_shardings_2d,
+    make_sp_sharded_decode_step,
+)
 from clusterfusion_tpu.parallel.collective import (
     Stage,
     cluster_gather,

@@ -57,28 +57,33 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
         x = params["embed"][token][None]
         residual = jnp.zeros_like(x)
 
-        def layer(carry, xs):
+        lw = params["layers"]
+
+        def layer(carry, l):
             x, residual, kc, vc = carry
-            p, l = xs
             # residual add + RMSNorm live inside the kernel and must see the
             # *full* residual: replicated here, so the kernel computes the
             # same norm on every chip (cheap), then per-chip partial attn.
-            attn, residual, k_new, v_new = _fused_decoder_layer(
-                x, residual, p["attn_norm"][None], cos, sin,
-                p["wqkv_f"], p["wo_f"], kc, vc, pos, l,
+            # Whole weight stacks enter the kernel (layer picked in the
+            # BlockSpec index maps) — see models.llama on why scanning
+            # weight slices through a pallas operand copies them per layer.
+            attn, residual, _, _, kc, vc = _fused_decoder_layer(
+                x, residual, lw["attn_norm"][:, None], cos, sin,
+                lw["wqkv_f"], lw["wo_f"], kc, vc, pos, l,
                 group=g, head_dim=hd, rope_style=cfg.rope_style,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
-                interpret=interpret_mode())
+                interpret=interpret_mode(), append_kv=True)
             # ICI all-reduce of the row-parallel O-projection — the chip-
             # scope Stage::ATTN reduce (`kernel.cuh:561-568`).
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
-            kc = jax.lax.dynamic_update_slice(
-                kc, k_new[None, :, None, :].astype(kc.dtype), (l, 0, pos, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, v_new[None, :, None, :].astype(vc.dtype), (l, 0, pos, 0))
+            ffn_norm = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
+                                                    keepdims=False)
             ffn_in, residual = fused_add_rmsnorm(attn, residual,
-                                                 p["ffn_norm"], cfg.norm_eps)
-            h = model._ffn(ffn_in, p["w13"], p["w2"])
+                                                 ffn_norm, cfg.norm_eps)
+            h = model._ffn(
+                ffn_in,
+                jax.lax.dynamic_index_in_dim(lw["w13"], l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False))
             # ICI all-reduce of the row-parallel FFN down-projection
             # (the reference's Stage::FFN reduce minus its fused ReLU —
             # SwiGLU's activation lives before the down-proj).
@@ -87,8 +92,7 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
 
         layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
         (x, residual, k_cache, v_cache), _ = jax.lax.scan(
-            layer, (x, residual, k_cache, v_cache),
-            (params["layers"], layer_idx))
+            layer, (x, residual, k_cache, v_cache), layer_idx)
         xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                       cfg.norm_eps)
         logits = jnp.dot(xn[0], params["lm_head"],

@@ -8,7 +8,7 @@ Megatron-style TP mapped onto the fused layouts:
   (row-parallel O: per-chip partial outputs, summed by one ICI all-reduce —
   the chip-scope analogue of the reference's DSM `Stage::ATTN` reduce +
   cross-head atomicAdd, `kernel.cuh:561-568,600`).
-- ``w13 [L, hidden, 2, ffn]`` / ``w2 [L, ffn, hidden]`` — column/row
+- ``w13 [L, 2, hidden, ffn]`` / ``w2 [L, ffn, hidden]`` — column/row
   parallel; the stacked (w1, w3) layout keeps matching gate/up columns on
   the same chip, so the SwiGLU product needs no resharding.
 - KV caches — shard kv_heads over tp, sequence over sp.

@@ -65,22 +65,33 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
     x = params["embed"][tokens]                       # [B, hidden]
     residual = jnp.zeros_like(x)
 
-    def layer(carry, xs):
+    lw = params["layers"]
+
+    def layer(carry, l):
         x, res, kp, vp = carry
-        p, l = xs
+        # whole weight stacks enter the paged kernel (layer picked in the
+        # BlockSpec index maps) — scanning weight slices through a pallas
+        # operand copies them per layer (see ops.stack_kernel)
+        an = jax.lax.dynamic_index_in_dim(lw["attn_norm"], l, 0,
+                                          keepdims=False)
         attn, res, kp, vp = llama_decoder_layer_paged(
-            x, res, p["wqkv_f"], p["wo_f"], block_table, seq_lens,
-            positions, kp, vp, l, p["attn_norm"][None], cfg.norm_eps,
+            x, res, lw["wqkv_f"], lw["wo_f"], block_table, seq_lens,
+            positions, kp, vp, l, an[None], cfg.norm_eps,
             cos_t, sin_t, group=g, rope_style=cfg.rope_style, kcfg=kcfg,
             interpret=interpret_mode())
+        fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
+                                          keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
-                                         p["ffn_norm"], cfg.norm_eps)
-        h = model._ffn(xn2, p["w13"], p["w2"])
+                                         fn, cfg.norm_eps)
+        h = model._ffn(
+            xn2,
+            jax.lax.dynamic_index_in_dim(lw["w13"], l, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False))
         return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, residual, k_pool, v_pool), _ = jax.lax.scan(
-        layer, (x, residual, k_pool, v_pool), (params["layers"], layer_idx))
+        layer, (x, residual, k_pool, v_pool), layer_idx)
 
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)

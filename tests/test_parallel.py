@@ -67,3 +67,66 @@ print("SHARDED_DECODE_OK", err)
 """
     out = _run_cpu(code)
     assert "SHARDED_DECODE_OK" in out
+
+
+def test_sp_sharded_decode_matches_single_device():
+    """(tp=2, sp=2) and (tp=1, sp=4) sequence-parallel fused decode must
+    match the unsharded fused step: KV sharded over sp, per-chip softmax
+    partials merged over ICI (the chip-scope restatement of the reference's
+    intra-cluster flash-decode merge, `kernel.cuh:479-551`)."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings_2d,
+                                        make_sp_sharded_decode_step)
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+k_cache, v_cache = model.init_cache(cfg)
+
+# warm the cache with a short prefill so sp shards actually hold history
+prompt = jnp.arange(20, dtype=jnp.int32) % cfg.vocab_size
+_, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+tok = jnp.asarray(9, jnp.int32)
+pos = jnp.asarray(20, jnp.int32)
+
+ref_logits, ref_k, ref_v = model.decode_step(params, k_cache, v_cache, tok,
+                                             pos, cfg, fused=True)
+
+for tp, sp in [(2, 2), (1, 4)]:
+    mesh = build_mesh(MeshConfig(dp=1, tp=tp, sp=sp),
+                      devices=jax.devices()[: tp * sp])
+    sparams = shard_params(params, cfg, mesh)
+    kc = jax.device_put(k_cache, cache_shardings_2d(mesh))
+    vc = jax.device_put(v_cache, cache_shardings_2d(mesh))
+    step = make_sp_sharded_decode_step(cfg, mesh)
+    logits, kc, vc = step(sparams, kc, vc, tok, pos)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               atol=0.05, rtol=0.02)
+    # the appended token's K/V at layers >= 1 carries bf16 noise from the
+    # slightly different (merged) layer-0 output — history must be exact
+    np.testing.assert_allclose(np.asarray(kc, np.float32),
+                               np.asarray(ref_k, np.float32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(vc, np.float32),
+                               np.asarray(ref_v, np.float32), atol=0.05)
+    np.testing.assert_array_equal(np.asarray(kc)[:, :, :20],
+                                  np.asarray(ref_k)[:, :, :20])
+    # decode a second token to prove the sp append really landed
+    logits2, kc, vc = step(sparams, kc, vc,
+                           jnp.asarray(4, jnp.int32), jnp.asarray(21, jnp.int32))
+    ref2, _, _ = model.decode_step(params, ref_k, ref_v,
+                                   jnp.asarray(4, jnp.int32),
+                                   jnp.asarray(21, jnp.int32), cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               atol=0.05, rtol=0.02)
+    print(f"sp decode ok tp={tp} sp={sp}")
+print("SP_OK")
+"""
+    out = _run_cpu(code)
+    assert "SP_OK" in out
