@@ -384,6 +384,18 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         return (x, residual, kc, vc), None
 
     if fused:
+        from clusterfusion_tpu.ops.stack_kernel import _vocab_block
+        if _vocab_block(cfg.vocab_size) > 0:
+            # final norm + LM head ride the same kernel: logits in ONE
+            # pallas call per token
+            logits, _, k_cache, v_cache = fused_decoder_stack(
+                x, lw["attn_norm"], lw["ffn_norm"], cos, sin,
+                lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
+                k_cache, v_cache, pos, group=g, head_dim=hd,
+                rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
+                interpret=interpret_mode(),
+                final_norm=params["final_norm"], lm_head=params["lm_head"])
+            return logits[0], k_cache, v_cache
         x, residual, k_cache, v_cache = fused_decoder_stack(
             x, lw["attn_norm"], lw["ffn_norm"], cos, sin,
             lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],

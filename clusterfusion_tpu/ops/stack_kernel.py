@@ -59,9 +59,10 @@ def _stack_kernel(
     x_ref, an_ref, fn_ref, cos_ref, sin_ref,
     *refs,
     hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
-    bf: int, nb: int, hidden: int,
+    bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int,
 ):
+    with_lm = nv > 0
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
@@ -71,15 +72,22 @@ def _stack_kernel(
     w13_s_ref = next(it) if wq_kind != "none" else None
     w2_ref = next(it)
     w2_s_ref = next(it) if wq_kind != "none" else None
+    if with_lm:
+        fnorm_ref = next(it)
+        lm_ref = next(it)
     k_ref, v_ref = next(it), next(it)
-    hx_out_ref, res_out_ref, kc_out_ref, vc_out_ref = \
-        (next(it) for _ in range(4))
+    hx_out_ref, res_out_ref = next(it), next(it)
+    logits_ref = next(it) if with_lm else None
+    kc_out_ref, vc_out_ref = next(it), next(it)
     (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
      krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
 
-    l = pl.program_id(0)
-    t = pl.program_id(1)
+    # 1D grid flattened over (layer, phase) + trailing LM-head phases
     TA = G * (nc + 1)
+    T = TA + nb
+    t_all = pl.program_id(0)
+    l = jnp.minimum(t_all // T, L - 1)
+    t = t_all - l * T                      # in [0, T) for layers; >= T in LM
     seq = s_ref[0]
     hd = head_dim
     rows = hg * group
@@ -88,7 +96,7 @@ def _stack_kernel(
     # ---- layer entry: residual add + attention RMSNorm ----------------------
     @pl.when(t == 0)
     def _():
-        @pl.when(l == 0)
+        @pl.when(t_all == 0)
         def _():
             hx_s[...] = x_ref[...].astype(f32)
             res_s[...] = jnp.zeros_like(res_s)
@@ -223,6 +231,7 @@ def _stack_kernel(
             aout_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
 
     # ---- FFN phases ------------------------------------------------------------
+    in_ffn = jnp.logical_and(t >= TA, t < T)
     @pl.when(t == TA)
     def _():
         r2 = aout_s[...] + res_s[...]
@@ -231,7 +240,7 @@ def _stack_kernel(
         xnorm_s[...] = r2 * jax.lax.rsqrt(var + eps) * _m2(fn_ref).astype(f32)
         ffn_s[...] = jnp.zeros_like(ffn_s)
 
-    @pl.when(t >= TA)
+    @pl.when(in_ffn)
     def _():
         xn = xnorm_s[...].astype(jnp.bfloat16)
         w = _r3(w13_ref)
@@ -270,17 +279,41 @@ def _stack_kernel(
                                   preferred_element_type=f32)
 
     # ---- layer exit ------------------------------------------------------------
-    @pl.when(t == TA + nb - 1)
+    @pl.when(t == T - 1)
     def _():
         out = ffn_s[...]
         if wq_kind == "int8":
             out = out * _m2(w2_s_ref)
         hx_s[...] = out
 
-        @pl.when(l == pl.num_programs(0) - 1)
+        @pl.when(l == L - 1)
         def _():
             hx_out_ref[...] = out.astype(hx_out_ref.dtype)
             res_out_ref[...] = res_s[...].astype(res_out_ref.dtype)
+
+    # ---- LM-head phases: final RMSNorm + vocab-blocked logits ---------------
+    if with_lm:
+        @pl.when(t == T)
+        def _():
+            xf = hx_s[...] + res_s[...]
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            xnorm_s[...] = xf * jax.lax.rsqrt(var + eps) \
+                * fnorm_ref[...].astype(f32)
+
+        @pl.when(t >= T)
+        def _():
+            xn = xnorm_s[...].astype(jnp.bfloat16)
+            logits_ref[...] = jnp.dot(xn, lm_ref[...],
+                                      preferred_element_type=f32)
+
+
+def _vocab_block(V: int, target: int = 1024) -> int:
+    """Largest lane-aligned divisor of V at most ``target`` (0 if none)."""
+    best = 0
+    for d in range(1, target // 128 + 1):
+        if V % (d * 128) == 0:
+            best = d * 128
+    return best
 
 
 def fused_decoder_stack(
@@ -293,6 +326,8 @@ def fused_decoder_stack(
     eps: float,
     kcfg: KernelConfig = KernelConfig(),
     interpret=None,
+    final_norm=None,
+    lm_head=None,
 ):
     """One kernel call for the whole decoder stack (bs=1 decode).
 
@@ -303,6 +338,13 @@ def fused_decoder_stack(
 
     Returns (x_out [1, hidden], residual_out [1, hidden], k_cache', v_cache')
     with the new token's K/V appended in place for every layer.
+
+    If ``final_norm`` [hidden] and ``lm_head`` [hidden, vocab] are given
+    (vocab must have a lane-aligned divisor <= 2048), the kernel appends
+    final-RMSNorm + vocab-blocked LM-head phases after the last layer —
+    logits leave the same single kernel call — and the return becomes
+    (logits [1, vocab], residual_out, k_cache', v_cache').  The LM weight
+    blocks prefetch while the last layers still compute.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -337,33 +379,58 @@ def fused_decoder_stack(
     nb = f_pad // bf
     TA = G * (nc + 1)
     T = TA + nb
+
+    with_lm = lm_head is not None
+    if with_lm:
+        V = lm_head.shape[-1]
+        bv = _vocab_block(V)
+        assert bv > 0, f"vocab {V} has no lane-aligned block <= 2048"
+        nv = V // bv
+    else:
+        nv = bv = 0
+    total = L_ * T + nv
     wo_rows = hg * group * hd
 
-    # ---- index maps: attention operands pin their last block during FFN
-    # phases (no re-fetch); w13/w2 pin block 0 during attention (prefetch)
-    def g_of(t):
+    # ---- index maps over the flattened 1D grid: attention operands pin
+    # their last block during FFN/LM phases (no re-fetch); w13/w2 pin block
+    # 0 during attention and the LM blocks pin 0 until the LM phases
+    # (both prefetch while earlier phases compute)
+    def lt_of(ta):
+        lx = jnp.minimum(ta // T, L_ - 1)
+        return lx, ta - lx * T
+
+    def g_of(ta):
+        lx, t = lt_of(ta)
         return jnp.minimum(t, TA - 1) // (nc + 1)
 
-    def j_of(t):
-        return jnp.maximum(t - TA, 0)
+    def j_of(ta):
+        lx, t = lt_of(ta)
+        return jnp.clip(t - TA, 0, nb - 1)
 
-    def kv_index_map(l, t, s):
+    def l_of(ta):
+        return jnp.minimum(ta // T, L_ - 1)
+
+    def jv_of(ta):
+        return jnp.clip(ta - L_ * T, 0, max(nv - 1, 0))
+
+    def kv_index_map(ta, s):
+        lx, t = lt_of(ta)
         tt = jnp.minimum(t, TA - 1)
         c_i = tt % (nc + 1)
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
         cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
-        return (l, g_of(t), cix, 0)
+        return (lx, g_of(ta), cix, 0)
 
     in_specs = [
-        pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
+        pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
                      memory_space=pltpu.VMEM),                    # x
-        pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+        pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
                      memory_space=pltpu.VMEM),                    # attn_norm
-        pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+        pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
                      memory_space=pltpu.VMEM),                    # ffn_norm
-        pl.BlockSpec((1, hd), lambda l, t, s: (0, 0),
+        pl.BlockSpec((1, hd), lambda ta, s: (0, 0),
                      memory_space=pltpu.VMEM),                    # cos
-        pl.BlockSpec((1, hd), lambda l, t, s: (0, 0),
+        pl.BlockSpec((1, hd), lambda ta, s: (0, 0),
                      memory_space=pltpu.VMEM),                    # sin
     ]
     inputs = [x, attn_norm[:, None], ffn_norm[:, None], cos, sin]
@@ -373,54 +440,69 @@ def fused_decoder_stack(
         inputs.append(arr)
 
     add(wqkv_q, pl.BlockSpec((1, 1, hidden // pack, qkv_cols),
-                             lambda l, t, s: (l, g_of(t), 0, 0),
+                             lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                              memory_space=pltpu.VMEM))
     if wq_kind != "none":
         add(wqkv_s, pl.BlockSpec((1, 1, wqkv_s.shape[-2], qkv_cols),
-                                 lambda l, t, s: (l, g_of(t), 0, 0),
+                                 lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                                  memory_space=pltpu.VMEM))
     add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
-                           lambda l, t, s: (l, g_of(t), 0, 0),
+                           lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                            memory_space=pltpu.VMEM))
     if wq_kind != "none":
         add(wo_s, pl.BlockSpec((1, 1, wo_s.shape[-2], hidden),
-                               lambda l, t, s: (l, g_of(t), 0, 0),
+                               lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                                memory_space=pltpu.VMEM))
     add(w13_q, pl.BlockSpec((1, 2, hidden // pack, bf),
-                            lambda l, t, s: (l, 0, 0, j_of(t)),
+                            lambda ta, s: (l_of(ta), 0, 0, j_of(ta)),
                             memory_space=pltpu.VMEM))
     if wq_kind != "none":
         add(w13_s, pl.BlockSpec((1, 2, w13_s.shape[-2], bf),
-                                lambda l, t, s: (l, 0, 0, j_of(t)),
+                                lambda ta, s: (l_of(ta), 0, 0, j_of(ta)),
                                 memory_space=pltpu.VMEM))
     add(w2_q, pl.BlockSpec((1, bf, hidden // pack),
-                           lambda l, t, s: (l, j_of(t), 0),
+                           lambda ta, s: (l_of(ta), j_of(ta), 0),
                            memory_space=pltpu.VMEM))
     if wq_kind == "int8":
-        add(w2_s, pl.BlockSpec((1, 1, hidden), lambda l, t, s: (l, 0, 0),
+        add(w2_s, pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
                                memory_space=pltpu.VMEM))
     elif wq_kind == "int4":
         add(w2_s, pl.BlockSpec((1, bf // gs_q, hidden),
-                               lambda l, t, s: (l, j_of(t), 0),
+                               lambda ta, s: (l_of(ta), j_of(ta), 0),
                                memory_space=pltpu.VMEM))
+    if with_lm:
+        add(final_norm.reshape(1, hidden),
+            pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
+                         memory_space=pltpu.VMEM))
+        add(lm_head, pl.BlockSpec((hidden, bv),
+                                  lambda ta, s: (0, jv_of(ta)),
+                                  memory_space=pltpu.VMEM))
     k_alias_idx = 1 + len(inputs)
     add(k_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                               memory_space=pltpu.VMEM))
     add(v_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                               memory_space=pltpu.VMEM))
 
+    out_specs = [
+        pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_lm:
+        out_specs.append(pl.BlockSpec((1, bv),
+                                      lambda ta, s: (0, jv_of(ta)),
+                                      memory_space=pltpu.VMEM))
+    out_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L_, T),
+        grid=(total,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda l, t, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((1, hidden), jnp.float32),        # xnorm
             pltpu.VMEM((hg * group, hd), jnp.float32),   # q
@@ -439,8 +521,8 @@ def fused_decoder_stack(
 
     kernel = functools.partial(
         _stack_kernel, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
-        nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, rope_style=rope_style,
-        eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+        nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))
@@ -450,23 +532,35 @@ def fused_decoder_stack(
                       + 3 * hidden * f_pad)
     nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_cache.dtype.itemsize
 
+    out_shape = [
+        jax.ShapeDtypeStruct((1, hidden), dt),
+        jax.ShapeDtypeStruct((1, hidden), dt),
+    ]
+    if with_lm:
+        out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
+    out_shape += [
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    n_pre = 3 if with_lm else 2
+    aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
+
     seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    x_out, res_out, kc, vc = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, hidden), dt),
-            jax.ShapeDtypeStruct((1, hidden), dt),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=kcfg.vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=nbytes,
             transcendentals=L_ * (kv_heads * cap + f_pad)),
-        input_output_aliases={k_alias_idx: 2, k_alias_idx + 1: 3},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(seq_arr, *inputs)
+    if with_lm:
+        x_out, res_out, logits, kc, vc = results
+        return logits, res_out, kc, vc
+    x_out, res_out, kc, vc = results
     return x_out, res_out, kc, vc
