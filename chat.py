@@ -28,23 +28,35 @@ def main():
                     help="random weights + byte tokenizer (no checkpoint)")
     ap.add_argument("--eager", action="store_true",
                     help="disable the fused megakernel path")
+    ap.add_argument("--quant", type=str, default=None,
+                    choices=["int8", "int4"],
+                    help="weight-only quantization (dequant fused in-kernel)")
+    ap.add_argument("--kv_fp8", action="store_true",
+                    help="store the KV cache as float8_e4m3")
     args = ap.parse_args()
 
     from clusterfusion_tpu.config import LlamaConfig
     from clusterfusion_tpu.models.generation import Llama
 
+    import jax.numpy as jnp
+
     fused = not args.eager
+    kv_dtype = jnp.float8_e4m3fn if args.kv_fp8 else jnp.bfloat16
     if args.synthetic:
         cfg = LlamaConfig.tiny(max_seq_len=args.max_seq_len)
-        gen = Llama.synthetic(cfg, fused=fused)
+        gen = Llama.synthetic(cfg, fused=fused, quant=args.quant,
+                              kv_dtype=kv_dtype)
     else:
         assert args.ckpt_dir and args.tokenizer_path, \
             "--ckpt_dir/--tokenizer_path required (or --synthetic)"
         gen = Llama.build(args.ckpt_dir, args.tokenizer_path,
-                          max_seq_len=args.max_seq_len, fused=fused)
+                          max_seq_len=args.max_seq_len, fused=fused,
+                          quant=args.quant, kv_dtype=kv_dtype)
 
     toks = gen.tokenizer.encode(args.prompt, bos=True, eos=False)
-    print(f"[prompt: {len(toks)} tokens | fused={gen.fused}]")
+    print(f"[prompt: {len(toks)} tokens | fused={gen.fused}"
+          + (f" | quant={args.quant}" if args.quant else "")
+          + (" | kv=fp8" if args.kv_fp8 else "") + "]")
     t0 = time.perf_counter()
     n = 0
     pieces = []

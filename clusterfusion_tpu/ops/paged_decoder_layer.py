@@ -43,8 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
-from clusterfusion_tpu.ops.decoder_layer import (_m2, _pick_head_group,
-                                                 _rope_vec)
+from clusterfusion_tpu.ops.decoder_layer import (_dequant_int4_tile, _m2,
+                                                 _pick_head_group, _rope_vec)
+from clusterfusion_tpu.ops.quant import QuantizedTensor
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -56,21 +57,26 @@ def _paged_kernel(
     lens_ref,        # [B] cached-token counts (excluding current)
     pos_ref,         # [B] rope positions
     table_ref,       # [B, max_pages] pool page ids
-    # inputs
+    # inputs: x, res, rmsw, cos, sin, wqkv[, wqkv_s], wo[, wo_s], k, v
     x_ref, res_ref, rmsw_ref, cos_ref, sin_ref,
-    wqkv_ref, wo_ref, k_ref, v_ref,
-    # outputs
-    out_ref, res_out_ref, knew_ref, vnew_ref,
-    # scratch
-    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s,
-    *,
+    *refs,
     hg: int,
     group: int,
     head_dim: int,
     page: int,
     rope_style: str,
     eps: float,
+    wq_kind: str = "none",
+    gs_q: int = 0,
 ):
+    it = iter(refs)
+    wqkv_ref = next(it)
+    wqkv_s_ref = next(it) if wq_kind != "none" else None
+    wo_ref = next(it)
+    wo_s_ref = next(it) if wq_kind != "none" else None
+    k_ref, v_ref = next(it), next(it)
+    out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
+    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s = (next(it) for _ in range(6))
     b_id = pl.program_id(0)
     g_id = pl.program_id(1)
     c_id = pl.program_id(2)
@@ -93,7 +99,14 @@ def _paged_kernel(
     @pl.when(c_id == 0)
     def _():
         xn = xnorm_s[...].astype(jnp.bfloat16)
-        qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
+        if wq_kind == "none":
+            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
+        elif wq_kind == "int8":
+            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
+                          preferred_element_type=f32) * _m2(wqkv_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
+            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
         cos_f = cos_ref[0].astype(f32)
         sin_f = sin_ref[0].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -168,7 +181,15 @@ def _paged_kernel(
         l_f = l_old * alpha + p_cur
         o = (acc / l_f).astype(jnp.bfloat16)
         o_flat = o.reshape(1, rows * hd)
-        out_s[...] += jnp.dot(o_flat, _m2(wo_ref), preferred_element_type=f32)
+        if wq_kind == "none":
+            out_s[...] += jnp.dot(o_flat, _m2(wo_ref),
+                                  preferred_element_type=f32)
+        elif wq_kind == "int8":
+            out_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
+                                  preferred_element_type=f32) * _m2(wo_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+            out_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
 
         @pl.when(g_id == pl.num_programs(1) - 1)
         def _():
@@ -208,16 +229,31 @@ def llama_decoder_layer_paged(
     if interpret is None:
         interpret = interpret_mode()
     B, hidden = input.shape
+    # weight-only quantized weights: dequant fused in-kernel as in
+    # ops.decoder_layer (INT8 scale-after-dot, INT4 tile dequant)
+    wq_kind, gs_q = "none", 0
+    wqkv_s = wo_s = None
+    if isinstance(wqkv_g, QuantizedTensor):
+        assert isinstance(wo_g, QuantizedTensor) and wo_g.kind == wqkv_g.kind
+        wq_kind, gs_q = wqkv_g.kind, wqkv_g.group_size
+        wqkv_s = wqkv_g.s.astype(jnp.float32)
+        wo_s = wo_g.s.astype(jnp.float32)
+        wshape = wqkv_g.shape
+        wqkv_g, wo_g = wqkv_g.q, wo_g.q
+    else:
+        wshape = wqkv_g.shape
     # stacked mode: [L, G, hidden, cols] weight stacks, layer picked by the
     # prefetched meta scalar in the index maps (slicing the stack at the XLA
     # level would copy the layer's weights per call — see ops.stack_kernel)
-    stacked = wqkv_g.ndim == 4
-    G, _, qkv_cols = wqkv_g.shape[-3:]
+    stacked = len(wshape) == 4
+    G, _, qkv_cols = wshape[-3:]
     L, n_pages, page, kv_heads, hd = k_pool.shape
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * hd
     max_pages = block_table.shape[1]
     dt = input.dtype
+    pack = 2 if wq_kind == "int4" else 1
+    wo_rows = hg * group * hd
 
     meta = jnp.asarray([layer_id], jnp.int32) if not hasattr(layer_id, "dtype") \
         else jnp.asarray(layer_id, jnp.int32).reshape(1)
@@ -233,35 +269,48 @@ def llama_decoder_layer_paged(
     def rope_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
         return (pos_s[b], 0, 0)
 
+    def wspec(rows, cols):
+        """Weight BlockSpec: [L, G, rows, cols] stacked or [G, rows, cols]."""
+        if stacked:
+            return pl.BlockSpec((1, 1, rows, cols),
+                                lambda b, g, c, *s: (s[0][0], g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, rows, cols), lambda b, g, c, *s: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda b, g, c, *s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
+        wspec(hidden // pack, qkv_cols),
+    ]
+    inputs = [input[:, None, :], residual[:, None, :], rms_w,
+              cos_t[:, None, :], sin_t[:, None, :], wqkv_g]
+    if wq_kind != "none":
+        in_specs.append(wspec(wqkv_s.shape[-2], qkv_cols))
+        inputs.append(wqkv_s)
+    in_specs.append(wspec(wo_rows // pack, hidden))
+    inputs.append(wo_g)
+    if wq_kind != "none":
+        in_specs.append(wspec(wo_s.shape[-2], hidden))
+        inputs.append(wo_s)
+    in_specs += [
+        pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [k_pool, v_pool]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, G, max_pages + 1),
-        in_specs=[
-            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda b, g, c, *s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hidden, qkv_cols),
-                         lambda b, g, c, *s: (s[0][0], g, 0, 0),
-                         memory_space=pltpu.VMEM)
-            if stacked else
-            pl.BlockSpec((1, hidden, qkv_cols), lambda b, g, c, *s: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg * group * hd, hidden),
-                         lambda b, g, c, *s: (s[0][0], g, 0, 0),
-                         memory_space=pltpu.VMEM)
-            if stacked else
-            pl.BlockSpec((1, hg * group * hd, hidden),
-                         lambda b, g, c, *s: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -284,7 +333,7 @@ def llama_decoder_layer_paged(
 
     kernel = functools.partial(
         _paged_kernel, hg=hg, group=group, head_dim=hd, page=page,
-        rope_style=rope_style, eps=eps)
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
 
     out, res_out, k_new, v_new = pl.pallas_call(
         kernel,
@@ -299,12 +348,11 @@ def llama_decoder_layer_paged(
             vmem_limit_bytes=kcfg.vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * hidden * (group + 2) * hd * kv_heads,
-            bytes_accessed=(wqkv_g.size + wo_g.size) * dt.itemsize,
+            bytes_accessed=(wqkv_g.size * wqkv_g.dtype.itemsize
+                            + wo_g.size * wo_g.dtype.itemsize),
             transcendentals=B * kv_heads * max_pages * page),
         interpret=interpret,
-    )(meta, lens, poss, table, input[:, None, :], residual[:, None, :],
-      rms_w, cos_t[:, None, :], sin_t[:, None, :], wqkv_g, wo_g,
-      k_pool, v_pool)
+    )(meta, lens, poss, table, *inputs)
 
     out = out.reshape(B, hidden)
     res_out = res_out.reshape(B, hidden)

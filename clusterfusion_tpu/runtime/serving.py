@@ -38,6 +38,7 @@ from clusterfusion_tpu.models import llama as model
 from clusterfusion_tpu.models.sampling import sample
 from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.paged_decoder_layer import llama_decoder_layer_paged
+from clusterfusion_tpu.ops.quant import QuantizedTensor
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
 from clusterfusion_tpu.runtime.native import PagedKVScheduler
 
@@ -67,6 +68,12 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
 
     lw = params["layers"]
 
+    def idx(w, l):
+        """Per-layer slice that also works on QuantizedTensor pytrees
+        (the eager FFN consumes sliced weights; slices fuse into einsums)."""
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), w)
+
     def layer(carry, l):
         x, res, kp, vp = carry
         # whole weight stacks enter the paged kernel (layer picked in the
@@ -83,10 +90,7 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
                                           keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
                                          fn, cfg.norm_eps)
-        h = model._ffn(
-            xn2,
-            jax.lax.dynamic_index_in_dim(lw["w13"], l, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False))
+        h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
         return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)

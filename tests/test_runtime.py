@@ -169,3 +169,34 @@ def test_serving_engine_queue_overflow():
     out = eng.run()
     for rid, p in prompts.items():
         assert out[rid] == _reference_greedy(params, p, 4), rid
+
+
+def test_serving_engine_int8_quantized():
+    """Continuous-batched INT8 decode (fused dequant in the paged kernel +
+    scale-commuted eager FFN) is batching-invariant: decoding requests
+    together bit-matches decoding each alone through the same engine.
+    (A cross-kernel token-level comparison would be brittle: quantized
+    random-weight logits have near-ties that argmax resolves differently
+    between the batched paged kernel and the single-seq stack kernel.)"""
+    from clusterfusion_tpu.ops.quant import quantize_llama_params
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = quantize_llama_params(
+        model.init_params(CFG, jax.random.PRNGKey(3)), "int8", 128)
+    prompts = {0: [1, 2, 3], 1: [5, 6, 7, 8]}
+
+    # same max_batch both ways: the step pads rows to max_batch, so the
+    # compiled shapes (and therefore XLA's rounding) are identical and the
+    # comparison is bit-exact
+    solo = {}
+    for rid, p in prompts.items():
+        eng1 = ServingEngine(params, CFG, page_size=8, num_pages=64,
+                             max_batch=4)
+        eng1.submit(rid, p, max_gen_len=4, temperature=0.0)
+        solo.update(eng1.run())
+
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=64, max_batch=4)
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=4, temperature=0.0)
+    out = eng.run()
+    assert out == solo, (out, solo)
