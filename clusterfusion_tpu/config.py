@@ -67,6 +67,25 @@ class LlamaConfig:
                            ffn_dim=28672, n_layers=80)
 
     @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig(hidden_dim=4096, n_heads=32, n_kv_heads=8,
+                           ffn_dim=14336, n_layers=32, vocab_size=128256,
+                           rope_theta=500000.0, norm_eps=1e-5,
+                           rope_style="neox")
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(hidden_dim=4096, n_heads=32, n_kv_heads=8,
+                           ffn_dim=14336, n_layers=32, vocab_size=32000,
+                           rope_theta=10000.0, rope_style="neox")
+
+    @staticmethod
+    def tinyllama_1b() -> "LlamaConfig":
+        return LlamaConfig(hidden_dim=2048, n_heads=32, n_kv_heads=4,
+                           head_dim=64, ffn_dim=5632, n_layers=22,
+                           vocab_size=32000, rope_style="neox")
+
+    @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         """Small geometry for tests — still tile-aligned (head_dim 128)."""
         defaults = dict(hidden_dim=512, n_heads=4, ffn_dim=1024, n_layers=2,

@@ -32,3 +32,21 @@ def sample(key, logits: jnp.ndarray, temperature: float = 0.6,
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return sample_top_p(key, logits, temperature, top_p).astype(jnp.int32)
+
+
+def sample_batch(key, logits, temperatures, top_ps):
+    """Per-row sampling for a batch: logits [B, vocab] fp32,
+    temperatures/top_ps [B] fp32.  Rows with temperature <= 0 decode
+    greedily; others nucleus-sample — all traced (no per-config recompile),
+    so a continuous-batching engine can mix sampling params freely."""
+    import jax
+
+    B = logits.shape[0]
+    keys = jax.random.split(key, B)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def one(k, lg, t, p):
+        return sample_top_p(k, lg, jnp.maximum(t, 1e-6), p).astype(jnp.int32)
+
+    sampled = jax.vmap(one)(keys, logits, temperatures, top_ps)
+    return jnp.where(temperatures <= 0.0, greedy, sampled)

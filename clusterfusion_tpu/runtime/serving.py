@@ -35,7 +35,7 @@ import numpy as np
 from clusterfusion_tpu.config import KernelConfig, LlamaConfig
 from clusterfusion_tpu.config import round_up
 from clusterfusion_tpu.models import llama as model
-from clusterfusion_tpu.models.sampling import sample
+from clusterfusion_tpu.models.sampling import sample, sample_batch
 from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.paged_decoder_layer import llama_decoder_layer_paged
 from clusterfusion_tpu.ops.quant import QuantizedTensor
@@ -56,11 +56,11 @@ class _Req:
 
 
 def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
-                       block_table, seq_lens, key,
-                       cfg: LlamaConfig, kcfg: KernelConfig,
-                       temperature: float, top_p: float):
+                       block_table, seq_lens, key, temperatures, top_ps,
+                       cfg: LlamaConfig, kcfg: KernelConfig):
     """One batched decode step.  tokens/positions/seq_lens: [B] int32,
-    block_table: [B, P] int32.  Returns (next_tokens [B], k_pool', v_pool')."""
+    block_table: [B, P] int32, temperatures/top_ps: [B] f32 (per-request
+    sampling params, traced).  Returns (next_tokens [B], k_pool', v_pool')."""
     g = cfg.n_heads // cfg.kv_heads
     cos_t, sin_t = model.rope_table(cfg)
     x = params["embed"][tokens]                       # [B, hidden]
@@ -101,9 +101,7 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
                                   cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"],
                      preferred_element_type=jnp.float32)   # [B, vocab]
-    keys = jax.random.split(key, logits.shape[0])
-    nxt = jax.vmap(lambda k, lg: sample(k, lg, temperature, top_p))(
-        keys, logits)
+    nxt = sample_batch(key, logits, temperatures, top_ps)
     return nxt.astype(jnp.int32), k_pool, v_pool
 
 
@@ -138,7 +136,6 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._step = jax.jit(
             functools.partial(_paged_decode_step, cfg=cfg, kcfg=kcfg),
-            static_argnames=("temperature", "top_p"),
             donate_argnums=(1, 2))
 
     # -- request lifecycle ---------------------------------------------------
@@ -226,15 +223,19 @@ class ServingEngine:
         poss_p = np.zeros(mb, np.int32)
         poss_p[:B] = poss
 
-        # per-engine sampling params: use the first row's (homogeneous
-        # batches; per-row temperature is a later milestone)
-        r0 = self._reqs[int(ids[0])]
+        # per-request sampling params (traced → no recompile per mix)
+        temps = np.zeros(mb, np.float32)
+        tops = np.full(mb, 0.9, np.float32)
+        for b in range(B):
+            r = self._reqs[int(ids[b])]
+            temps[b] = r.temperature
+            tops[b] = r.top_p
         self._key, sub = jax.random.split(self._key)
         nxt, self.k_pool, self.v_pool = self._step(
             self.params, self.k_pool, self.v_pool,
             jnp.asarray(tokens), jnp.asarray(poss_p),
             jnp.asarray(table_p), jnp.asarray(lens_p), sub,
-            temperature=r0.temperature, top_p=r0.top_p)
+            jnp.asarray(temps), jnp.asarray(tops))
         nxt = np.asarray(jax.device_get(nxt))
         self.sched.commit_batch()
 

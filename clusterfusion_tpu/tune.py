@@ -85,33 +85,38 @@ def candidate_space(cfg: LlamaConfig, seq: int):
 
 def _time_layer_config(cfg: LlamaConfig, seq: int, kcfg: KernelConfig,
                        reps: int = 128) -> float:
-    """Median-of-3 per-layer latency (µs) of the fused decoder layer under
-    ``kcfg`` at KV length ``seq``."""
+    """Median-of-3 per-LAYER latency (µs) of the whole-stack megakernel
+    (what the production decode path runs) under ``kcfg`` at KV capacity
+    ``seq``, measured on a 2-layer stack and divided by 2."""
     from clusterfusion_tpu.ops._support import interpret_mode
-    from clusterfusion_tpu.ops.decoder_layer import (
-        _fused_decoder_layer, fuse_qkv_o_for_kernel)
+    from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
 
     kv, g, hd, h = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, \
         cfg.head_dim_, cfg.hidden_dim
+    from clusterfusion_tpu.models.llama import padded_ffn_dim
+    f = padded_ffn_dim(cfg)
     hg = kcfg.head_group
-    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    G = kv // hg
+    nl = 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
     bf = jnp.bfloat16
     x = jax.random.normal(ks[0], (1, h), bf)
-    res = jax.random.normal(ks[1], (1, h), bf)
-    wqkv_ph = jax.random.normal(ks[2], (kv, h, (g + 2) * hd), bf) * 0.02
-    wo_ph = jax.random.normal(ks[3], (kv, g * hd, h), bf) * 0.02
-    wqkv_g, wo_g = fuse_qkv_o_for_kernel(wqkv_ph, wo_ph, kv, g, hd, hg)
-    kc = jax.random.normal(ks[4], (1, kv, seq, hd), bf)
-    vc = jax.random.normal(ks[5], (1, kv, seq, hd), bf)
-    rms_w = jnp.ones((1, h), bf)
+    wqkv = jax.random.normal(ks[2], (nl, G, h, hg * (g + 2) * hd), bf) * 0.02
+    wo = jax.random.normal(ks[3], (nl, G, hg * g * hd, h), bf) * 0.02
+    w13 = jax.random.normal(ks[6], (nl, 2, h, f), bf) * 0.02
+    w2 = jax.random.normal(ks[7], (nl, f, h), bf) * 0.02
+    kc = jax.random.normal(ks[4], (nl, kv, seq, hd), bf)
+    vc = jax.random.normal(ks[5], (nl, kv, seq, hd), bf)
+    an = jnp.ones((nl, h), bf)
+    fn = jnp.ones((nl, h), bf)
     cos = jnp.ones((1, hd), jnp.float32)
     sin = jnp.zeros((1, hd), jnp.float32)
 
     def step(xd):
-        out, _, _, _ = _fused_decoder_layer(
-            xd, res, rms_w, cos, sin, wqkv_g, wo_g, kc, vc, seq - 1, 0,
-            group=g, head_dim=hd, rope_style="neox", fuse_residual=True,
-            eps=1e-5, kcfg=kcfg, interpret=interpret_mode())
+        out, _, _, _ = fused_decoder_stack(
+            xd, an, fn, cos, sin, wqkv, wo, w13, w2, kc, vc, seq - 1,
+            group=g, head_dim=hd, rope_style="neox", eps=1e-5, kcfg=kcfg,
+            interpret=interpret_mode())
         return out
 
     def make(n):
@@ -135,7 +140,7 @@ def _time_layer_config(cfg: LlamaConfig, seq: int, kcfg: KernelConfig,
 
     t1 = timed(make(reps))
     t2 = timed(make(2 * reps))
-    return max(t2 - t1, 1e-7) / reps * 1e6
+    return max(t2 - t1, 1e-7) / reps * 1e6 / 2   # per layer (2-layer stack)
 
 
 def tune_decoder_layer(cfg: LlamaConfig, seq: int = 1024,
