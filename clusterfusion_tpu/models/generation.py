@@ -46,10 +46,11 @@ class Llama:
     """Decode engine around the functional model."""
 
     def __init__(self, params, cfg: LlamaConfig, tokenizer,
-                 kcfg: KernelConfig = KernelConfig(),
+                 kcfg: Optional[KernelConfig] = None,
                  fused: Optional[bool] = None,
                  quant: Optional[str] = None,
-                 kv_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16,
+                 autotune: bool = False):
         """quant: None | "int8" | "int4" — weight-only quantization with
         dequant fused into the megakernels; kv_dtype: bf16 or
         ``jnp.float8_e4m3fn`` for an FP8 KV cache.  Both are capabilities
@@ -57,6 +58,13 @@ class Llama:
         if quant:
             from clusterfusion_tpu.ops.quant import quantize_llama_params
             params = quantize_llama_params(params, quant)
+        if kcfg is None:
+            if autotune:
+                from clusterfusion_tpu.tune import tune_decoder_layer
+                kcfg = tune_decoder_layer(cfg, cfg.max_seq_len,
+                                          verbose=False)
+            else:
+                kcfg = KernelConfig()
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

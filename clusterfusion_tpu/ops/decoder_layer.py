@@ -72,11 +72,14 @@ def _m2(ref):
 
 def _dequant_int4_tile(w_ref_val, s_val, gs: int):
     """Packed int4 tile [K/2, N] + group scales [K/gs, N] → bf16 [K, N].
-    VPU-only (shifts/selects/broadcast); used when the scale varies along
-    the reduction axis so dequant can't commute with the dot."""
-    w = unpack_int4(w_ref_val, 0)
-    s = expand_group_scales(s_val, 0, gs)
-    return (w.astype(jnp.float32) * s).astype(jnp.bfloat16)
+    VPU-only (shifts/broadcast); used when the scale varies along the
+    reduction axis so dequant can't commute with the dot.  The scale
+    multiply runs in bf16 — int4 values are exact in bf16 and the product
+    feeds a bf16 MXU dot anyway, so the f32 detour would only cost VPU
+    passes."""
+    w = unpack_int4(w_ref_val, 0).astype(jnp.bfloat16)
+    s = expand_group_scales(s_val.astype(jnp.bfloat16), 0, gs)
+    return w * s
 
 
 def _rope_vec(x, cos_f, sin_f, style: str):

@@ -104,10 +104,11 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
                       preferred_element_type=f32) * s[1]
     else:  # int4: packed rows pair r with r+hidden/2 → concat restores order
         s = _r3(w13_s_ref)                                # [2, h/gs, bf]
-        wg = (unpack_int4(w[0], 0).astype(f32)
-              * expand_group_scales(s[0], 0, gs_q)).astype(jnp.bfloat16)
-        wu = (unpack_int4(w[1], 0).astype(f32)
-              * expand_group_scales(s[1], 0, gs_q)).astype(jnp.bfloat16)
+        sb = s.astype(jnp.bfloat16)
+        wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
+            * expand_group_scales(sb[0], 0, gs_q)
+        wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
+            * expand_group_scales(sb[1], 0, gs_q)
         y_g = jnp.dot(xn, wg, preferred_element_type=f32)
         y_u = jnp.dot(xn, wu, preferred_element_type=f32)
     act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
@@ -121,10 +122,9 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
         out_s[...] += jnp.dot(act, _r2(w2_ref).astype(jnp.bfloat16),
                               preferred_element_type=f32)
     else:  # int4
-        w2 = unpack_int4(_r2(w2_ref), 1).astype(f32) \
-            * expand_group_scales(_r2(w2_s_ref), 0, gs_q)
-        out_s[...] += jnp.dot(act, w2.astype(jnp.bfloat16),
-                              preferred_element_type=f32)
+        w2 = unpack_int4(_r2(w2_ref), 1).astype(jnp.bfloat16) \
+            * expand_group_scales(_r2(w2_s_ref).astype(jnp.bfloat16), 0, gs_q)
+        out_s[...] += jnp.dot(act, w2, preferred_element_type=f32)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():

@@ -135,14 +135,15 @@ def quantize_int4(w: jnp.ndarray, axis: int, group_size: int = 128,
 
 def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
     """int8-packed nibbles [..K/2..] → int32 values [..K..] (rows in natural
-    order: byte b holds rows b (lo) and b+K/2 (hi)).  Pure shifts/selects —
-    safe inside Pallas kernels."""
+    order: byte b holds rows b (lo) and b+K/2 (hi)).
+
+    Sign extension via arithmetic shifts only — `(p<<28)>>28` keeps the low
+    nibble with sign, `(p<<24)>>28` the high one — so the unpack is 4 VPU
+    shift passes + a concat (the select-based version cost ~2x; the dequant
+    is the VPU-bound part of INT4 decode)."""
     p = packed.astype(jnp.int32)
-    p = jnp.where(p < 0, p + 256, p)                       # unsigned byte
-    lo = p & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = p >> 4
-    hi = jnp.where(hi >= 8, hi - 16, hi)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
     return jnp.concatenate([lo, hi], axis=axis)
 
 

@@ -256,11 +256,11 @@ def _stack_kernel(
         else:
             from clusterfusion_tpu.ops.quant import (expand_group_scales,
                                                      unpack_int4)
-            s = _r3(w13_s_ref)
-            wg = (unpack_int4(w[0], 0).astype(f32)
-                  * expand_group_scales(s[0], 0, gs_q)).astype(jnp.bfloat16)
-            wu = (unpack_int4(w[1], 0).astype(f32)
-                  * expand_group_scales(s[1], 0, gs_q)).astype(jnp.bfloat16)
+            sb = _r3(w13_s_ref).astype(jnp.bfloat16)
+            wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
+                * expand_group_scales(sb[0], 0, gs_q)
+            wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
+                * expand_group_scales(sb[1], 0, gs_q)
             y_g = jnp.dot(xn, wg, preferred_element_type=f32)
             y_u = jnp.dot(xn, wu, preferred_element_type=f32)
         act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
@@ -273,10 +273,10 @@ def _stack_kernel(
         else:
             from clusterfusion_tpu.ops.quant import (expand_group_scales,
                                                      unpack_int4)
-            w2v = unpack_int4(_m2(w2_ref), 1).astype(f32) \
-                * expand_group_scales(_m2(w2_s_ref), 0, gs_q)
-            ffn_s[...] += jnp.dot(act, w2v.astype(jnp.bfloat16),
-                                  preferred_element_type=f32)
+            w2v = unpack_int4(_m2(w2_ref), 1).astype(jnp.bfloat16) \
+                * expand_group_scales(_m2(w2_s_ref).astype(jnp.bfloat16),
+                                      0, gs_q)
+            ffn_s[...] += jnp.dot(act, w2v, preferred_element_type=f32)
 
     # ---- layer exit ------------------------------------------------------------
     @pl.when(t == T - 1)

@@ -78,8 +78,14 @@ def candidate_space(cfg: LlamaConfig, seq: int):
     head_group widens the projection dots (N = hg·(g+2)·hd must stay MXU-
     efficient) against weight-tile VMEM."""
     kv = cfg.kv_heads
-    chunks = [c for c in (128, 256, 512, 1024) if c <= max(seq, 128)]
-    hgs = [h for h in (1, 2, 4, 8, 16) if h <= kv and kv % h == 0]
+    if cfg.hidden_dim >= 4096:
+        # big models: each stack-kernel compile is expensive (minutes via a
+        # remote-compile relay) — sweep only the knee of the curve
+        chunks = [c for c in (512, 1024) if c <= max(seq, 128)]
+        hgs = [h for h in (2, 4, 8) if h <= kv and kv % h == 0]
+    else:
+        chunks = [c for c in (128, 256, 512, 1024) if c <= max(seq, 128)]
+        hgs = [h for h in (1, 2, 4, 8, 16) if h <= kv and kv % h == 0]
     return [(c, h) for c, h in itertools.product(chunks, hgs)]
 
 
@@ -166,7 +172,8 @@ def tune_decoder_layer(cfg: LlamaConfig, seq: int = 1024,
             continue
         results.append((us, chunk, hg))
         if verbose:
-            print(f"tune: chunk={chunk:5d} hg={hg:2d} -> {us:8.1f} us/layer")
+            print(f"tune: chunk={chunk:5d} hg={hg:2d} -> {us:8.1f} us/layer",
+                  flush=True)
     if not results:
         return KernelConfig()
     us, chunk, hg = min(results)

@@ -14,9 +14,11 @@ def test_candidate_space_divisibility():
     for chunk, hg in candidate_space(cfg, 1024):
         assert cfg.kv_heads % hg == 0
         assert chunk <= 1024
-    cfg = LlamaConfig.llama2_70b()        # GQA: 8 kv heads
+    cfg = LlamaConfig.llama2_70b()        # GQA: 8 kv heads, big-model sweep
     hgs = {h for _, h in candidate_space(cfg, 512)}
-    assert hgs == {1, 2, 4, 8}
+    assert hgs == {2, 4, 8}
+    hgs = {h for _, h in candidate_space(LlamaConfig.tiny(), 256)}
+    assert hgs == {1, 2, 4}
 
 
 def test_tune_tiny_and_cache(tmp_path):
