@@ -151,22 +151,31 @@ class ServingEngine:
 
     def _prefill_into_pool(self, req: _Req) -> None:
         """Eager prefill of the prompt, pages scattered into the pool, and
-        the first generated token sampled from the prompt logits."""
+        the first generated token sampled from the prompt logits.
+
+        The prompt is zero-padded to a power-of-two page count so prefill
+        compiles per BUCKET, not per prompt length (causality makes the
+        padding inert: logits at T-1 and KV rows < T are unaffected, and
+        rows >= T are masked by seq_len everywhere downstream)."""
         cfg, page = self.cfg, self.page_size
         T = len(req.prompt)
-        cap = round_up(T, page)
+        n_bucket = 1
+        while n_bucket * page < T:
+            n_bucket *= 2
+        cap = n_bucket * page
+        prompt_pad = req.prompt + [0] * (cap - T)
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
                        self.k_pool.dtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = model.prefill(
-            self.params, kc, vc, jnp.asarray(req.prompt, jnp.int32), cfg)
-        pages = self.sched.request_pages(req.id)[: cap // page]
-        # [L, kv, cap, hd] -> [L, n_used, page, kv, hd] pool pages
-        n_used = cap // page
-        k_pages = (kc.transpose(0, 2, 1, 3)
+            self.params, kc, vc, jnp.asarray(prompt_pad, jnp.int32), cfg)
+        owned = self.sched.request_pages(req.id)
+        n_used = min(len(owned), cap // page)
+        pages = owned[:n_used]
+        k_pages = (kc.transpose(0, 2, 1, 3)[:, : n_used * page]
                    .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
                             cfg.head_dim_))
-        v_pages = (vc.transpose(0, 2, 1, 3)
+        v_pages = (vc.transpose(0, 2, 1, 3)[:, : n_used * page]
                    .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
                             cfg.head_dim_))
         pages_j = jnp.asarray(np.asarray(pages), jnp.int32)
@@ -246,6 +255,25 @@ class ServingEngine:
             req.generated.append(tok)
             self._maybe_finish(req)
         return True
+
+    def cancel(self, req_id: int) -> List[int]:
+        """Abort a request (frees its pages immediately); returns whatever
+        was generated so far."""
+        req = self._reqs.pop(req_id, None)
+        if req is None:
+            raise KeyError(req_id)
+        if not req.done:
+            self.sched.release(req_id)
+        return req.generated
+
+    def stats(self) -> Dict[str, int]:
+        """Pool / queue occupancy for schedulers and dashboards."""
+        return {
+            "free_pages": self.sched.free_pages,
+            "total_pages": self.sched.num_pages - 1,   # page 0 reserved
+            "requests": self.sched.num_requests,
+            "active": sum(1 for r in self._reqs.values() if not r.done),
+        }
 
     def run(self) -> Dict[int, List[int]]:
         """Decode until every submitted request finishes."""

@@ -200,3 +200,21 @@ def test_serving_engine_int8_quantized():
         eng.submit(rid, p, max_gen_len=4, temperature=0.0)
     out = eng.run()
     assert out == solo, (out, solo)
+
+
+def test_serving_engine_cancel_and_stats():
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = model.init_params(CFG, jax.random.PRNGKey(4))
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=32, max_batch=4)
+    eng.submit(0, [1, 2, 3], max_gen_len=10, temperature=0.0)
+    eng.submit(1, [4, 5], max_gen_len=10, temperature=0.0)
+    for _ in range(2):
+        assert eng.step()
+    st = eng.stats()
+    assert st["active"] == 2 and st["free_pages"] < st["total_pages"]
+    partial = eng.cancel(0)
+    assert len(partial) >= 1
+    out = eng.run()
+    assert 0 not in out and len(out[1]) == 10
+    assert eng.stats()["requests"] == 0
