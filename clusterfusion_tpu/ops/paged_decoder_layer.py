@@ -138,8 +138,10 @@ def _paged_kernel(
         col_valid = (pos_base + col_iota) < seq
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
-            kc = k_ref[0, 0, :, h]                        # [page, hd]
-            vc = jnp.where(row_valid, v_ref[0, 0, :, h], 0)
+            # fp8 pools cast at the dot (same policy as the single-seq kernel)
+            kc = k_ref[0, 0, :, h].astype(jnp.bfloat16)   # [page, hd]
+            vc = jnp.where(row_valid,
+                           v_ref[0, 0, :, h].astype(jnp.bfloat16), 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             scores = jnp.where(col_valid, scores, _NEG_INF)

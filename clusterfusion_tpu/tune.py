@@ -125,27 +125,26 @@ def _time_layer_config(cfg: LlamaConfig, seq: int, kcfg: KernelConfig,
             interpret=interpret_mode())
         return out
 
-    def make(n):
-        @jax.jit
-        def run(x0):
-            def body(c, _):
-                out = step(x0 * (1.0 + c * 1e-30))
-                return jnp.sum(out.astype(jnp.float32)) * 1e-30, ()
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return c
-        return run
+    # dynamic trip count: ONE compile per config serves both chain lengths
+    # (each stack-kernel compile costs minutes through the relay)
+    @jax.jit
+    def run(x0, n):
+        def body(i, c):
+            out = step(x0 * (1.0 + c * 1e-30))
+            return jnp.sum(out.astype(jnp.float32)) * 1e-30
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    def timed(run):
-        np.asarray(jax.device_get(run(x)))          # compile + warm
+    def timed(n):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(jax.device_get(run(x)))
+            np.asarray(jax.device_get(run(x, n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = timed(make(reps))
-    t2 = timed(make(2 * reps))
+    np.asarray(jax.device_get(run(x, 2)))           # compile + warm
+    t1 = timed(reps)
+    t2 = timed(2 * reps)
     return max(t2 - t1, 1e-7) / reps * 1e6 / 2   # per layer (2-layer stack)
 
 
@@ -174,6 +173,13 @@ def tune_decoder_layer(cfg: LlamaConfig, seq: int = 1024,
         if verbose:
             print(f"tune: chunk={chunk:5d} hg={hg:2d} -> {us:8.1f} us/layer",
                   flush=True)
+        if use_cache:
+            # incremental: a partial sweep interrupted by a timeout still
+            # leaves the best-so-far behind (stack compiles cost minutes)
+            us_b, ch_b, hg_b = min(results)
+            cache[key] = {"kv_chunk": ch_b, "head_group": hg_b, "us": us_b,
+                          "reps": reps, "partial": True}
+            _store_cache(cache)
     if not results:
         return KernelConfig()
     us, chunk, hg = min(results)

@@ -218,3 +218,20 @@ def test_serving_engine_cancel_and_stats():
     out = eng.run()
     assert 0 not in out and len(out[1]) == 10
     assert eng.stats()["requests"] == 0
+
+
+def test_serving_engine_fp8_pool():
+    """Serving over an fp8 KV pool stays close to the bf16-pool engine."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = model.init_params(CFG, jax.random.PRNGKey(5))
+    outs = {}
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        eng = ServingEngine(params, CFG, page_size=8, num_pages=64,
+                            max_batch=2, kv_dtype=dt)
+        eng.submit(0, [1, 2, 3, 4, 5], max_gen_len=6, temperature=0.0)
+        outs[dt] = eng.run()[0]
+    # greedy tokens may drift where logits are near-tied; most should agree
+    agree = sum(a == b for a, b in zip(outs[jnp.bfloat16],
+                                       outs[jnp.float8_e4m3fn]))
+    assert agree >= 3, outs
