@@ -144,6 +144,60 @@ class Llama:
             pos += 1
         self.stats = GenStats(len(toks), n_gen, time.perf_counter() - t0)
 
+    def spec_generate(self, prompt_tokens: Sequence[int], max_gen_len: int,
+                      draft: "Llama", n_draft: int = 4,
+                      rounds_per_dispatch: int = 8) -> List[int]:
+        """Greedy speculative decode with ``draft`` as the proposal model.
+
+        Emits exactly the greedy stream of this (target) model — the draft
+        only changes how many target forwards it takes (see
+        models.speculative).  Sets ``self.spec_stats`` with per-run
+        acceptance counters."""
+        from clusterfusion_tpu.models import speculative as spec_mod
+        cfg = self.cfg
+        toks = list(prompt_tokens)
+        span = n_draft + 1
+        t0 = time.perf_counter()
+        k_cache, v_cache = model.init_cache(cfg, dtype=self.kv_dtype)
+        logits, k_cache, v_cache = model.prefill(
+            self.params, k_cache, v_cache, jnp.asarray(toks, jnp.int32), cfg)
+        kd, vd = model.init_cache(draft.cfg, dtype=draft.kv_dtype)
+        _, kd, vd = model.prefill(draft.params, kd, vd,
+                                  jnp.asarray(toks, jnp.int32), draft.cfg)
+        tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+        out = [int(tok)]
+        pos = len(toks)
+        rounds = accepted = 0
+        eos = self.tokenizer.eos_id
+        while len(out) < max_gen_len and out[-1] != eos:
+            # cache budget: round r writes rows up to pos + (r-1)·span + n_draft
+            cap_rounds = (cfg.max_seq_len - 1 - n_draft - pos) // span + 1
+            r = min(rounds_per_dispatch, cap_rounds)
+            if r < 1:
+                break
+            targets, counts, k_cache, v_cache, kd, vd = \
+                spec_mod.spec_decode_loop(
+                    self.params, k_cache, v_cache, draft.params, kd, vd,
+                    tok, jnp.asarray(pos, jnp.int32), cfg, draft.cfg,
+                    kcfg=self.kcfg, n_draft=n_draft, n_rounds=r,
+                    draft_fused=draft.fused)
+            counts = np.asarray(counts)
+            emitted = spec_mod.flatten_rounds(np.asarray(targets), counts)
+            rounds += r
+            accepted += int(counts.sum()) - r      # drafts accepted (excl. bonus)
+            pos += int(counts.sum())
+            tok = jnp.asarray(emitted[-1], jnp.int32)
+            if eos in emitted:
+                emitted = emitted[: emitted.index(eos) + 1]
+                out.extend(emitted)
+                break
+            out.extend(emitted)
+        out = out[:max_gen_len]
+        self.stats = GenStats(len(toks), len(out), time.perf_counter() - t0)
+        self.spec_stats = {"rounds": rounds, "accepted_drafts": accepted,
+                           "tokens": len(out)}
+        return out
+
     def generate(self, prompt_tokens: Sequence[Sequence[int]],
                  max_gen_len: int, temperature: float = 0.6,
                  top_p: float = 0.9, seed: int = 0,

@@ -36,6 +36,7 @@ from clusterfusion_tpu.config import KernelConfig, LlamaConfig
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
 from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
 from clusterfusion_tpu.ops.ffn import fused_ffn
+from clusterfusion_tpu.ops.flash_prefill import flash_prefill_attention
 from clusterfusion_tpu.ops.gemv import gemv
 from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm, rmsnorm
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref, rmsnorm_ref
@@ -204,40 +205,63 @@ def _apply_rope(x, cos, sin, style):
 
 
 # --------------------------------------------------------------------------
-# Prefill (eager, like the reference: prefill never uses the megakernel)
+# Prefill.  The reference only ever prefills eagerly with a materialized
+# [T, S] score tensor (`model.py:589-603`); here the default path is the
+# flash-attention Pallas kernel (ops/flash_prefill.py) with the eager path
+# kept as the in-tree oracle (flash=False).  ``pos0`` makes it a *chunked*
+# prefill: tokens occupy absolute positions pos0..pos0+T-1 and attend to
+# the already-filled cache prefix — a serving capability the reference
+# lacks entirely.
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
-            cfg: LlamaConfig):
-    """Process a full prompt, fill caches.
+@functools.partial(jax.jit, static_argnames=("cfg", "pos0", "flash"))
+def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
+                  cfg: LlamaConfig, pos0: int = 0, flash: bool = True):
+    """Process tokens [T] at positions pos0..pos0+T-1, filling the caches.
 
-    tokens: [T] int32.  Returns (logits [T, vocab], k_cache', v_cache',
-    (hidden, residual) pair at position T-1 — unused for now but cheap).
-    Mirrors the reference's eager prefill (`model.py:589-603` mask path)."""
+    Requires the first ``pos0`` cache positions to be filled.  Returns
+    (logits [T, vocab], k_cache', v_cache')."""
     T = tokens.shape[0]
-    cos_t, sin_t = rope_table(cfg)
-    cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+    cos_t, sin_t = rope_table(cfg, max_pos=max(pos0 + T, cfg.max_seq_len))
+    cos, sin = cos_t[pos0:pos0 + T][None], sin_t[pos0:pos0 + T][None]
     h = params["embed"][tokens][None]                      # [1, T, hidden]
-    mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
 
     def layer(carry, xs):
         h = carry
-        p = xs
+        p, kc_l, vc_l = xs
         xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [1,T,kv,g,hd]
         q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
                         cfg.rope_style)
         k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
-        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
-        scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None, None, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-        o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
-                       preferred_element_type=jnp.float32).astype(h.dtype)
-        kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+        k_new = k[0].transpose(1, 0, 2)                    # [kv, T, hd]
+        v_new = v[0].transpose(1, 0, 2)
+        if pos0:
+            k_ctx = jnp.concatenate(
+                [kc_l[:, :pos0].astype(h.dtype), k_new], axis=1)
+            v_ctx = jnp.concatenate(
+                [vc_l[:, :pos0].astype(h.dtype), v_new], axis=1)
+        else:
+            k_ctx, v_ctx = k_new, v_new                    # [kv, S, hd]
+        if flash:
+            o4 = flash_prefill_attention(q[0].transpose(1, 0, 2, 3),
+                                         k_ctx, v_ctx, q_offset=pos0)
+            o = o4.transpose(1, 0, 2, 3)[None]             # [1,T,kv,g,hd]
+        else:
+            # f32 oracle math (also sidesteps CPU XLA's unsupported
+            # bf16xbf16->f32 DotThunk for this contraction shape)
+            scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+            scores = jnp.einsum("btkgd,ksd->bkgts", q.astype(jnp.float32),
+                                k_ctx.astype(jnp.float32)) * scale
+            qpos = pos0 + jnp.arange(T)[:, None]
+            kpos = jnp.arange(pos0 + T)[None, :]
+            mask = kpos <= qpos                            # [T, S]
+            scores = jnp.where(mask[None, None, None], scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("bkgts,ksd->btkgd", probs,
+                           v_ctx.astype(jnp.float32)).astype(h.dtype)
         G = p["wo_f"].shape[0]
         attn = jnp.einsum("btGc,Gco->bto",
                           o.reshape(1, T, G, (kv // G) * g * hd),
@@ -247,17 +271,27 @@ def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         h = h + attn
         xn2 = rmsnorm_ref(h, p["ffn_norm"], cfg.norm_eps)
         h = h + _ffn(xn2, p["w13"], p["w2"])
-        # cache entries for this layer: [kv, T, hd]
-        return h, (k[0].transpose(1, 0, 2), v[0].transpose(1, 0, 2))
+        return h, (k_new, v_new)
 
-    h, (k_new, v_new) = jax.lax.scan(layer, h, params["layers"])
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype),
-                                           (0, 0, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype),
-                                           (0, 0, 0, 0))
+    h, (k_new, v_new) = jax.lax.scan(
+        layer, h, (params["layers"], k_cache, v_cache))
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_new.astype(k_cache.dtype), (0, 0, pos0, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_new.astype(v_cache.dtype), (0, 0, pos0, 0))
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(xn[0], params["lm_head"], preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
+
+
+def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
+            cfg: LlamaConfig, flash: bool = True):
+    """Process a full prompt from position 0, fill caches.
+
+    tokens: [T] int32.  Returns (logits [T, vocab], k_cache', v_cache').
+    The reference's analogue is the eager mask path (`model.py:589-603`)."""
+    return prefill_chunk(params, k_cache, v_cache, tokens, cfg, pos0=0,
+                         flash=flash)
 
 
 # --------------------------------------------------------------------------

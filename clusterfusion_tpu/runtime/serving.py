@@ -118,7 +118,8 @@ class ServingEngine:
                  max_batch: int = 8, max_pages_per_req: Optional[int] = None,
                  kcfg: KernelConfig = KernelConfig(),
                  eos_id: Optional[int] = None,
-                 kv_dtype=jnp.bfloat16, seed: int = 0):
+                 kv_dtype=jnp.bfloat16, seed: int = 0,
+                 prefill_chunk: Optional[int] = 1024):
         if max_pages_per_req is None:
             max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
         self.params = params
@@ -126,6 +127,9 @@ class ServingEngine:
         self.kcfg = kcfg
         self.eos_id = eos_id
         self.page_size = page_size
+        # chunk must divide every power-of-two bucket it splits
+        assert prefill_chunk is None or (prefill_chunk & (prefill_chunk - 1)) == 0
+        self.prefill_chunk = prefill_chunk
         self.sched = PagedKVScheduler(num_pages, page_size, max_pages_per_req)
         self.max_batch = max_batch
         shape = (cfg.n_layers, num_pages, page_size, cfg.kv_heads,
@@ -156,7 +160,12 @@ class ServingEngine:
         The prompt is zero-padded to a power-of-two page count so prefill
         compiles per BUCKET, not per prompt length (causality makes the
         padding inert: logits at T-1 and KV rows < T are unaffected, and
-        rows >= T are masked by seq_len everywhere downstream)."""
+        rows >= T are masked by seq_len everywhere downstream).
+
+        Prompts longer than ``prefill_chunk`` run as fixed-size chunks of
+        the flash kernel (``model.prefill_chunk``): compile variants stay
+        bounded by max_seq/chunk instead of one per bucket, and activation
+        memory is O(chunk), not O(prompt)."""
         cfg, page = self.cfg, self.page_size
         T = len(req.prompt)
         n_bucket = 1
@@ -167,8 +176,18 @@ class ServingEngine:
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
                        self.k_pool.dtype)
         vc = jnp.zeros_like(kc)
-        logits, kc, vc = model.prefill(
-            self.params, kc, vc, jnp.asarray(prompt_pad, jnp.int32), cfg)
+        chunk = self.prefill_chunk
+        if chunk and cap > chunk:
+            toks = jnp.asarray(prompt_pad, jnp.int32)
+            n_real = round_up(T, chunk)        # skip all-padding tail chunks
+            for p0 in range(0, n_real, chunk):
+                logits, kc, vc = model.prefill_chunk(
+                    self.params, kc, vc, toks[p0:p0 + chunk], cfg, pos0=p0)
+            last_logits = logits[(T - 1) - (n_real - chunk)]
+        else:
+            logits, kc, vc = model.prefill(
+                self.params, kc, vc, jnp.asarray(prompt_pad, jnp.int32), cfg)
+            last_logits = logits[T - 1]
         owned = self.sched.request_pages(req.id)
         n_used = min(len(owned), cap // page)
         pages = owned[:n_used]
@@ -184,7 +203,7 @@ class ServingEngine:
         self.v_pool = self.v_pool.at[:, pages_j].set(
             v_pages.astype(self.v_pool.dtype))
         self._key, sub = jax.random.split(self._key)
-        tok = int(sample(sub, logits[T - 1], req.temperature, req.top_p))
+        tok = int(sample(sub, last_logits, req.temperature, req.top_p))
         req.cur_token = tok
         req.generated.append(tok)
         self._maybe_finish(req)

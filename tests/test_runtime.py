@@ -235,3 +235,21 @@ def test_serving_engine_fp8_pool():
     agree = sum(a == b for a, b in zip(outs[jnp.bfloat16],
                                        outs[jnp.float8_e4m3fn]))
     assert agree >= 3, outs
+
+
+def test_serving_engine_chunked_prefill():
+    """Long prompt prefilled in fixed-size chunks must decode to the same
+    greedy tokens as the single-sequence path (chunked flash prefill is a
+    capability the reference lacks — its prefill is always one eager shot)."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = model.init_params(CFG, jax.random.PRNGKey(5))
+    long_prompt = [int(x) for x in (np.arange(41) * 11 + 3) % CFG.vocab_size]
+    short_prompt = [7, 8, 9]
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=64, max_batch=4,
+                        prefill_chunk=16)
+    eng.submit(0, long_prompt, max_gen_len=4, temperature=0.0)
+    eng.submit(1, short_prompt, max_gen_len=4, temperature=0.0)
+    out = eng.run()
+    assert out[0] == _reference_greedy(params, long_prompt, 4)
+    assert out[1] == _reference_greedy(params, short_prompt, 4)
