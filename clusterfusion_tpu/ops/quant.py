@@ -137,13 +137,17 @@ def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
     """int8-packed nibbles [..K/2..] → int32 values [..K..] (rows in natural
     order: byte b holds rows b (lo) and b+K/2 (hi)).
 
-    Sign extension via arithmetic shifts only — `(p<<28)>>28` keeps the low
-    nibble with sign, `(p<<24)>>28` the high one — so the unpack is 4 VPU
-    shift passes + a concat (the select-based version cost ~2x; the dequant
-    is the VPU-bound part of INT4 decode)."""
+    The dequant chain is the VPU-issue-bound part of INT4 decode (measured:
+    the dot, concat, and scale multiply all hide behind it), so the unpack
+    uses the cheapest op mix found on v5e:
+    - hi nibble in ONE arithmetic shift: for a sign-extended byte,
+      ``p >> 4 == floor(p/16)`` IS the sign-extended top nibble;
+    - lo nibble sign-extended via mask+xor+sub (``((p & 15) ^ 8) - 8``),
+      which beat the two-shift ``(p<<28)>>28`` form (23.2 vs 24.8 µs on
+      the 4096×4096 microbench; the original 4-shift form: 30.7 µs)."""
     p = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
+    lo = ((p & 15) ^ 8) - 8
+    hi = jnp.right_shift(p, 4)
     return jnp.concatenate([lo, hi], axis=axis)
 
 
