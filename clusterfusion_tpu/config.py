@@ -107,6 +107,20 @@ class DeepSeekConfig:
     rope_head_dim: int = 64
     kv_lora_rank: int = 512
     norm_eps: float = 1e-6
+    # model-level fields (beyond the reference, whose deepseek support is a
+    # single-layer kernel prototype with no model around it)
+    n_layers: int = 27
+    ffn_dim: int = 10944
+    vocab_size: int = 102400
+    max_seq_len: int = 4096
+    rope_theta: float = 10000.0
+    # MoE (DeepSeek-V2 interleaves MLA with routed-expert FFN; the
+    # reference has no FFN/MoE path at all).  n_experts=0 → dense FFN;
+    # n_experts>0 → ffn_dim acts as the shared-expert width and each of
+    # the n_experts routed experts has moe_ffn_dim columns.
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_ffn_dim: int = 1408
 
     @property
     def head_dim(self) -> int:
@@ -115,6 +129,21 @@ class DeepSeekConfig:
     @property
     def mla_head_dim(self) -> int:
         return self.kv_lora_rank + self.rope_head_dim
+
+    @property
+    def n_proj(self) -> int:
+        """Fused projection width: q_nope | q_pe | ckv | k_pe."""
+        return (self.n_heads * self.head_dim
+                + self.kv_lora_rank + self.rope_head_dim)
+
+    @staticmethod
+    def tiny(**kw) -> "DeepSeekConfig":
+        """Small geometry for tests — tile-aligned (lora 128, rope 64)."""
+        defaults = dict(hidden_dim=512, n_heads=4, nope_head_dim=128,
+                        rope_head_dim=64, kv_lora_rank=128, n_layers=2,
+                        ffn_dim=1024, vocab_size=384, max_seq_len=256)
+        defaults.update(kw)
+        return DeepSeekConfig(**defaults)
 
 
 @dataclasses.dataclass(frozen=True)

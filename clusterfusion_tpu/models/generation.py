@@ -146,13 +146,15 @@ class Llama:
 
     def spec_generate(self, prompt_tokens: Sequence[int], max_gen_len: int,
                       draft: "Llama", n_draft: int = 4,
-                      rounds_per_dispatch: int = 8) -> List[int]:
+                      rounds_per_dispatch: int = 1) -> List[int]:
         """Greedy speculative decode with ``draft`` as the proposal model.
 
         Emits exactly the greedy stream of this (target) model — the draft
         only changes how many target forwards it takes (see
         models.speculative).  Sets ``self.spec_stats`` with per-run
-        acceptance counters."""
+        acceptance counters.  ``rounds_per_dispatch > 1`` amortizes
+        dispatch overhead but costs a +3 GB HBM temp at 7B-bf16 scale
+        (see the memory note in models.speculative)."""
         from clusterfusion_tpu.models import speculative as spec_mod
         cfg = self.cfg
         toks = list(prompt_tokens)

@@ -21,6 +21,20 @@ After accepting ``m`` of ``n`` drafts at base position ``pos``:
 Greedy acceptance means the emitted stream equals the target model's own
 greedy decode (under the verify step's numerics): token i is emitted only
 as the argmax of target logits given the true emitted prefix.
+
+Measured (Llama-2-7B bf16, v5e, 1K ctx): verify_step is ~31.8 ms at
+n_draft=4 and ~31.7 ms at n=8 — flat in n, i.e. weight-streaming-bound
+exactly as designed — vs 21.2 ms/token for the fused single-token decode.
+With a draft ~10x smaller, a round emits up to n+1 tokens for one verify
++ n draft steps: ~2.3x at full acceptance, ~1.5x at 60%.
+
+Memory note: when ``spec_decode_loop`` runs MULTIPLE rounds inside one
+dispatch at large bf16 scales, XLA hoists a layout-transposed copy of the
+whole stacked wqkv out of the rounds scan (+3 GB HBM at 7B — enough to
+OOM next to 13.4 GB of params).  A single-round dispatch compiles with
+0.09 GB temp.  ``Llama.spec_generate`` therefore defaults to
+``rounds_per_dispatch=1``; raise it to amortize dispatch overhead when
+the target is quantized or small enough to leave headroom.
 """
 
 from __future__ import annotations
@@ -59,9 +73,15 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
     x = params["embed"][tokens]                                   # [n, hidden]
     residual = jnp.zeros_like(x)
 
-    def layer(carry, xs):
+    def layer(carry, l):
         x, residual, kc, vc = carry
-        p, l = xs
+        # slice the layer INSIDE the body (scanning weight stacks as xs lets
+        # XLA hoist a layout-changing copy of the WHOLE stack out of the
+        # loop — observed: a 3 GB transposed wqkv copy → OOM at 7B; a
+        # per-layer slice bounds any such copy to one layer)
+        p = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            params["layers"])
         xn, residual = fused_add_rmsnorm_ref(x, residual, p["attn_norm"],
                                              cfg.norm_eps)
         q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg)   # q [1,n,kv,g,hd]
@@ -97,8 +117,7 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     (x, residual, k_cache, v_cache), _ = jax.lax.scan(
-        layer, (x, residual, k_cache, v_cache),
-        (params["layers"], layer_idx))
+        layer, (x, residual, k_cache, v_cache), layer_idx)
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"],

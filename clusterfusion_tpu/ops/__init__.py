@@ -13,7 +13,8 @@ from clusterfusion_tpu.ops.paged_decoder_layer import (
 from clusterfusion_tpu.ops.ffn import fused_ffn
 from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
 from clusterfusion_tpu.ops.gemv import gemv
-from clusterfusion_tpu.ops.deepseek_layer import deepseek_decoder_layer
+from clusterfusion_tpu.ops.deepseek_layer import (
+    deepseek_decoder_layer, deepseek_decoder_layer_fused)
 from clusterfusion_tpu.ops.quant import (
     QuantizedTensor,
     maybe_dequantize,
@@ -31,6 +32,7 @@ __all__ = [
     "llama_decoder_layer_batch_decode_sglang",
     "llama_decoder_layer_paged",
     "deepseek_decoder_layer",
+    "deepseek_decoder_layer_fused",
     "fused_ffn",
     "fused_decoder_stack",
     "gemv",

@@ -186,19 +186,51 @@ def deepseek_decoder_layer(
     (`pybind.cpp:45-59,113`).  Returns (output [1, hidden],
     ckv_new [1, lora_rank + rope_dim]) — the reference returns output only
     and never appends to the cache; ckv_new fixes that."""
-    kcfg = kernel_config or KernelConfig()
-    hidden = input.shape[-1]
-    h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
-    mla = lora + rope
-    seq = ckv_cache.shape[0]
-    dt = input.dtype
-
     # fuse the four projections into one [hidden, N] matrix
     wproj = jnp.concatenate([
         weight_q_nope.T, weight_q_pe.T, weight_kv_nope.T, weight_k_pe.T,
     ], axis=-1)                                            # [hidden, 3648]
+    return deepseek_decoder_layer_fused(
+        input, wproj, weight_uk, weight_uv, weight_o.T, ckv_cache,
+        ckv_cache.shape[0], rms_input_weight, rms_ckv_weight, cos, sin,
+        n_heads=n_heads, nope_dim=nope_dim, rope_dim=rope_dim,
+        lora_rank=lora_rank, eps=eps, kernel_config=kernel_config)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps", "kernel_config"))
+def deepseek_decoder_layer_fused(
+    input: jnp.ndarray,          # [1, hidden]
+    wproj: jnp.ndarray,          # [hidden, h·nope + h·rope + lora + rope]
+    weight_uk: jnp.ndarray,      # [heads, nope_dim, lora_rank]
+    weight_uv: jnp.ndarray,      # [heads, lora_rank, nope_dim]
+    wo_t: jnp.ndarray,           # [heads·nope_dim, hidden]  (pre-transposed)
+    ckv_cache: jnp.ndarray,      # [capacity, lora_rank + rope_dim]
+    seq_len,                     # [] int32 — past rows in use (dynamic)
+    rms_input_weight: jnp.ndarray,
+    rms_ckv_weight: jnp.ndarray,
+    cos: jnp.ndarray,            # [rope_dim/2]
+    sin: jnp.ndarray,            # [rope_dim/2]
+    n_heads: int = 16,
+    nope_dim: int = 128,
+    rope_dim: int = 64,
+    lora_rank: int = 512,
+    eps: float = 1e-6,
+    kernel_config: KernelConfig = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Model-path variant: weights arrive pre-fused (no per-call concat /
+    transpose of ~15 MB of projections), the cache is a fixed *capacity*
+    buffer, and ``seq_len`` is a dynamic scalar — the kernel compiles once
+    per capacity, not per length (the reference recompiles per SEQ_LEN
+    macro, `deepseek/config.h:9`)."""
+    kcfg = kernel_config or KernelConfig()
+    hidden = input.shape[-1]
+    h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
+    mla = lora + rope
+    seq = ckv_cache.shape[0]                               # capacity
+    dt = input.dtype
     n_proj = wproj.shape[-1]
-    wo = weight_o.T                                        # [h·nope, hidden]
+    wo = wo_t
 
     chunk = min(kcfg.kv_chunk, max(round_up(seq, 16), 16))
     n_chunks = max(cdiv(seq, chunk), 1)
@@ -261,7 +293,8 @@ def deepseek_decoder_layer(
             bytes_accessed=(wproj.size + wo.size + ckv_cache.size) * dt.itemsize,
             transcendentals=h * seq),
         interpret=interpret_mode(),
-    )(jnp.asarray([seq], jnp.int32), input, rms_input_weight[None, :],
+    )(jnp.asarray(seq_len, jnp.int32).reshape(1), input,
+      rms_input_weight[None, :],
       rms_ckv_weight[None, :], cos_f, sin_f,
       wproj, weight_uk, weight_uv, wo, ckv_cache[None])
     return out, ckv_new.reshape(1, mla)

@@ -1,0 +1,74 @@
+"""Mixture-of-Experts SwiGLU FFN (top-k routed + shared experts).
+
+DeepSeek-V2 interleaves MLA attention with MoE FFN layers; the reference
+kernel library stops at the attention half (`include/H100/deepseek/` has no
+FFN at all), so this is capability beyond it, built TPU-first:
+
+- **Decode (bs=1..few)**: the minimum-HBM-traffic formulation — gather the
+  ``top_k`` selected experts' weights by ``dynamic_index`` and run k dense
+  SwiGLUs.  At bs=1 only k·(2·h·f + f·h) weight bytes move, the same as a
+  dense FFN of k experts' size; a masked-dense pass would read all E
+  experts.
+- **Prefill / training / multi-chip**: the masked-dense formulation —
+  every expert processes every token, masked+weighted by the router.
+  O(E) FLOPs, but it is `shard_map`-friendly: shard the expert axis
+  across chips and the combine is one ``psum`` (each chip computes its
+  local experts' contribution).  For T tokens with top-k routing, tokens
+  per expert average T·k/E, so at prefill scale the waste is bounded and
+  the all-to-all machinery XLA would otherwise need disappears.
+
+Router: softmax over expert logits, top-k, renormalized within the k
+selected (DeepSeek-V2 convention).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def route_top_k(x, router_w, top_k: int):
+    """x [T, h], router_w [h, E] → (weights [T, E] with exactly top_k
+    nonzero per row, renormalized to sum 1).  f32 throughout."""
+    logits = jnp.einsum("th,he->te", x.astype(jnp.float32),
+                        router_w.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    kth = jax.lax.top_k(probs, top_k)[0][..., -1:]         # [T, 1]
+    w = jnp.where(probs >= kth, probs, 0.0)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def _swiglu(x, w13, w2):
+    y = jnp.einsum("...d,udf->...uf", x, w13,
+                   preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
+    return jnp.dot(act, w2, preferred_element_type=jnp.float32)
+
+
+def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2):
+    """Gathered-expert MoE for decode.  x [1, h]; w13_all [E, 2, h, f];
+    w2_all [E, f, h].  Returns [1, h] in x.dtype."""
+    gates = route_top_k(x, router_w, top_k)                # [1, E]
+    _, idx = jax.lax.top_k(gates, top_k)                   # [1, k]
+    out = jnp.zeros((1, x.shape[-1]), jnp.float32)
+    for i in range(top_k):
+        e = idx[0, i]
+        w13 = jax.lax.dynamic_index_in_dim(w13_all, e, 0, keepdims=False)
+        w2 = jax.lax.dynamic_index_in_dim(w2_all, e, 0, keepdims=False)
+        out = out + gates[0, e] * _swiglu(x, w13.astype(x.dtype),
+                                          w2.astype(x.dtype))
+    return out.astype(x.dtype)
+
+
+def moe_ffn_dense(x, router_w, w13_all, w2_all, top_k: int = 2):
+    """Masked-dense MoE: every expert runs on every token (shardable over
+    the expert axis; the cross-expert sum commutes with ``psum``).
+    x [T, h] → [T, h]."""
+    gates = route_top_k(x, router_w, top_k)                # [T, E]
+    def body(acc, ew):
+        w13, w2, g = ew                                    # g [T]
+        y = _swiglu(x, w13.astype(x.dtype), w2.astype(x.dtype))   # [T, h]
+        return acc + g[:, None] * y, None
+    acc = jnp.zeros(x.shape, jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, (w13_all, w2_all, gates.T))
+    return acc.astype(x.dtype)

@@ -130,3 +130,54 @@ print("SP_OK")
 """
     out = _run_cpu(code)
     assert "SP_OK" in out
+
+
+def test_expert_sharded_moe_matches_single_device():
+    """Expert-parallel MoE: experts sharded over a 4-chip axis, per-chip
+    masked-dense contributions combined with psum — must equal the
+    unsharded masked-dense MoE (and hence the gathered-expert decode)."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+from clusterfusion_tpu.ops.moe import moe_ffn_dense, route_top_k, _swiglu
+
+E, H, F, K = 8, 256, 128, 2
+ks = jax.random.split(jax.random.PRNGKey(0), 4)
+r = lambda k, s, f: (jax.random.normal(k, s, jnp.float32)/np.sqrt(f)).astype(jnp.bfloat16)
+router_w = r(ks[0], (H, E), H)
+w13 = r(ks[1], (E, 2, H, F), H)
+w2 = r(ks[2], (E, F, H), F)
+x = jax.random.normal(ks[3], (4, H), jnp.bfloat16)
+
+want = moe_ffn_dense(x, router_w, w13, w2, K)
+
+mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("ep",))
+
+def local(x, router_w, w13_l, w2_l, e0):
+    # full router on every chip; each chip applies only its local experts
+    gates = route_top_k(x, router_w, K)          # [T, E] (global)
+    El = w13_l.shape[0]
+    g_l = jax.lax.dynamic_slice(gates, (0, e0[0]), (x.shape[0], El))
+    def body(acc, ew):
+        w13_e, w2_e, g = ew
+        y = _swiglu(x, w13_e.astype(x.dtype), w2_e.astype(x.dtype))
+        return acc + g[:, None] * y, None
+    # initial carry must be marked varying over the manual 'ep' axis (the
+    # body output varies with the chip-local expert weights)
+    acc0 = jax.lax.pcast(jnp.zeros(x.shape, jnp.float32), ("ep",),
+                         to="varying")
+    acc, _ = jax.lax.scan(body, acc0, (w13_l, w2_l, g_l.T))
+    return jax.lax.psum(acc, "ep").astype(x.dtype)
+
+e0 = jnp.arange(4, dtype=jnp.int32) * (E // 4)   # first expert id per chip
+f = shard_map(local, mesh=mesh,
+              in_specs=(P(), P(), P("ep"), P("ep"), P("ep")),
+              out_specs=P())
+got = jax.jit(f)(x, router_w, w13, w2, e0)
+err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+assert err < 0.02, err
+print("ep OK", err)
+"""
+    out = _run_cpu(code)
+    assert "ep OK" in out
