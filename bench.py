@@ -144,6 +144,25 @@ def _time_layer(cfg, seq: int, reps: int = 256):
     return chain(fused_step), chain(eager_step)
 
 
+def _time_prefill(params, cfg) -> float:
+    """Prompt tokens/s for a full-context flash prefill (time-to-first-token
+    is prompt_len / this)."""
+    from clusterfusion_tpu.models import llama as model
+
+    T = min(cfg.max_seq_len, 1024)
+    toks = jnp.arange(T, dtype=jnp.int32) % cfg.vocab_size
+
+    def run():
+        kc, vc = model.init_cache(cfg)
+        t0 = time.perf_counter()
+        lg, kc, vc = model.prefill(params, kc, vc, toks, cfg)
+        _fetch(lg[-1][:8])
+        return time.perf_counter() - t0
+
+    run()                                       # compile
+    return T / min(run() for _ in range(3))
+
+
 def _synth_quant_params(cfg, kind: str):
     """Random params with already-quantized projection weights, built
     directly in the quantized layout (synthesizing — rather than
@@ -235,6 +254,7 @@ def main():
     jax.block_until_ready(params)
     tps_fused = _time_decode(params, cfg, n_gen, fused=True)
     tps_eager = _time_decode(params, cfg, n_gen, fused=False)
+    prefill_tps = _time_prefill(params, cfg)
     del params
     gc.collect()
 
@@ -265,6 +285,7 @@ def main():
         if quant_tps.get("int8") else None,
         "int4_tokens_per_s": round(quant_tps["int4"], 2)
         if quant_tps.get("int4") else None,
+        "prefill_tokens_per_s": round(prefill_tps, 0),
         "device": str(jax.devices()[0]),
     }))
 
