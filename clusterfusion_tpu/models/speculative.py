@@ -22,11 +22,13 @@ Greedy acceptance means the emitted stream equals the target model's own
 greedy decode (under the verify step's numerics): token i is emitted only
 as the argmax of target logits given the true emitted prefix.
 
-Measured (Llama-2-7B bf16, v5e, 1K ctx): verify_step is ~31.8 ms at
-n_draft=4 and ~31.7 ms at n=8 — flat in n, i.e. weight-streaming-bound
-exactly as designed — vs 21.2 ms/token for the fused single-token decode.
-With a draft ~10x smaller, a round emits up to n+1 tokens for one verify
-+ n draft steps: ~2.3x at full acceptance, ~1.5x at 60%.
+Measured (Llama-2-7B bf16, v5e, 1K ctx): the fused whole-stack verify
+(``ops.stack_verify``) is 21.4 ms at n=4 AND n=8 — equal to the fused
+single-token decode (21.2 ms) and 1.5x the eager n-row verify (32.2 ms).
+Scoring n draft tokens costs the same weight streaming as generating
+one, so with a draft ~10x smaller a round emits up to n+1 tokens for
+~1.1 decode-steps of target time: ~3.4x at full acceptance (n=8), ~2x
+at 60%.
 
 Memory note: when ``spec_decode_loop`` runs MULTIPLE rounds inside one
 dispatch at large bf16 scales, XLA hoists a layout-transposed copy of the
@@ -49,29 +51,60 @@ from clusterfusion_tpu.models.llama import (
     LlamaParams, _apply_rope, _decode_step_impl, _ffn, _qkv_eager,
     maybe_dequantize, rope_table)
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.ops._support import interpret_mode
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "kcfg", "fused"))
 def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
-                pos: jnp.ndarray, cfg: LlamaConfig):
+                pos: jnp.ndarray, cfg: LlamaConfig,
+                kcfg: KernelConfig = KernelConfig(), fused: bool = True):
     """Score ``n`` tokens at dynamic positions ``pos .. pos+n-1`` in one
     forward, appending their K/V.  tokens: [n] int32 (the last emitted
     token followed by the draft proposals).  Returns (logits [n, vocab],
     k_cache', v_cache').
 
-    This is the multi-token sibling of the eager decode step
-    (``_decode_step_impl`` fused=False): same math per row, n rows wide.
-    The n·cap attention reads the full cache capacity with a position
-    mask, so ``pos`` stays dynamic — no per-position recompiles."""
+    fused=True → the n-row whole-stack megakernel
+    (``ops.stack_verify.fused_verify_stack``): one kernel call for all
+    layers, the same weight-streaming cost as a single-token decode.
+    fused=False → the eager oracle: the multi-token sibling of
+    ``_decode_step_impl`` fused=False — same math per row, n rows wide.
+    Either way the n·cap attention masks by position, so ``pos`` stays
+    dynamic — no per-position recompiles."""
     n = tokens.shape[0]
     g = cfg.n_heads // cfg.kv_heads
     hd, kv = cfg.head_dim_, cfg.kv_heads
     cos_t, sin_t = rope_table(cfg)
-    cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (n, hd))[None]   # [1,n,hd]
-    sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (n, hd))[None]
+    cos2 = jax.lax.dynamic_slice(cos_t, (pos, 0), (n, hd))        # [n, hd]
+    sin2 = jax.lax.dynamic_slice(sin_t, (pos, 0), (n, hd))
+    cos, sin = cos2[None], sin2[None]                             # [1,n,hd]
 
     x = params["embed"][tokens]                                   # [n, hidden]
     residual = jnp.zeros_like(x)
+
+    if fused:
+        from clusterfusion_tpu.ops.stack_kernel import _vocab_block
+        from clusterfusion_tpu.ops.stack_verify import fused_verify_stack
+        lw = params["layers"]
+        common = dict(group=g, head_dim=hd, rope_style=cfg.rope_style,
+                      eps=cfg.norm_eps, kcfg=kcfg,
+                      interpret=interpret_mode())
+        if _vocab_block(cfg.vocab_size) > 0:
+            logits, _, k_cache, v_cache = fused_verify_stack(
+                x, lw["attn_norm"], lw["ffn_norm"], cos2, sin2,
+                lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
+                k_cache, v_cache, pos, final_norm=params["final_norm"],
+                lm_head=params["lm_head"], **common)
+            return logits, k_cache, v_cache
+        xo, res, k_cache, v_cache = fused_verify_stack(
+            x, lw["attn_norm"], lw["ffn_norm"], cos2, sin2,
+            lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
+            k_cache, v_cache, pos, **common)
+        xn, _ = fused_add_rmsnorm_ref(xo.astype(x.dtype),
+                                      res.astype(x.dtype),
+                                      params["final_norm"], cfg.norm_eps)
+        logits = jnp.dot(xn, params["lm_head"],
+                         preferred_element_type=jnp.float32)
+        return logits, k_cache, v_cache
 
     def layer(carry, l):
         x, residual, kc, vc = carry
@@ -151,7 +184,8 @@ def _spec_round(params, draft_params, carry, cfg: LlamaConfig,
 
     # -- target scores [tok, d1..dn] in one forward -> t1..t_{n+1}
     vtoks = jnp.concatenate([tok[None], drafts])
-    logits, kc_t, vc_t = verify_step(params, kc_t, vc_t, vtoks, pos, cfg)
+    logits, kc_t, vc_t = verify_step(params, kc_t, vc_t, vtoks, pos, cfg,
+                                     kcfg)
     targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n_draft+1]
 
     # longest agreeing prefix: drafts[:m] == targets[:m]; emit targets[:m+1]

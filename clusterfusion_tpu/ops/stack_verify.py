@@ -1,0 +1,549 @@
+"""Multi-token whole-stack verify megakernel for speculative decoding.
+
+``ops.stack_kernel`` fuses ALL layers of a single-token decode into one
+Pallas call.  This is its n-token sibling: score ``n`` draft tokens at
+positions ``pos .. pos+n-1`` — causal among themselves, attending the
+whole cache — in ONE kernel call, returning logits for every row and
+appending all n KV rows in place.
+
+Why it exists: the eager multi-row verify streams the same weight bytes
+as an eager decode step but pays per-layer XLA overheads — measured
+31.8 ms vs 21.2 ms for the fused single-token stack at 7B (flat in n).
+Fusing the verify brings a speculative round's target cost down to the
+single-token stack cost, which is what makes draft acceptance nearly
+free tokens.
+
+Differences from the single-token stack kernel (`_stack_kernel`):
+
+- every row-wise buffer ([1, hidden] → [n, hidden]); RMSNorms are
+  already per-row;
+- the q/softmax panels carry n tokens per (head, group) row — panel row
+  order is (head-row, token), so each flash dot is
+  ``[group·n, hd] × [hd, chunk]``;
+- the "current token" fold becomes an n×n causal block against the n
+  freshly-projected K/V rows (query token i attends draft keys j ≤ i);
+- the cache append RMW window widens from 8 to ``round_up(n+7, 8)`` rows
+  and scatters all n rows in one read-modify-write;
+- RoPE uses per-row cos/sin (positions pos..pos+n-1).
+
+With n=1 this computes exactly what the single-token stack computes; the
+single-token kernel remains the decode hot path (no row-transpose in it).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clusterfusion_tpu.config import KernelConfig
+from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops.decoder_layer import (
+    _dequant_int4_tile, _m2, _rope_vec)
+from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
+from clusterfusion_tpu.ops.quant import QuantizedTensor
+from clusterfusion_tpu.ops.stack_kernel import _vocab_block
+
+_LOG2E = 1.4426950408889634
+_NEG_INF = -1e30
+
+
+def _verify_kernel(
+    s_ref,                        # [pos]
+    x_ref, an_ref, fn_ref, cos_ref, sin_ref,
+    *refs,
+    n: int, hg: int, group: int, head_dim: int, kv_chunk: int, nc: int,
+    G: int, bf: int, nb: int, hidden: int, L: int, nv: int, Wr: int,
+    rope_style: str, eps: float, wq_kind: str, gs_q: int,
+):
+    with_lm = nv > 0
+    it = iter(refs)
+    wqkv_ref = next(it)
+    wqkv_s_ref = next(it) if wq_kind != "none" else None
+    wo_ref = next(it)
+    wo_s_ref = next(it) if wq_kind != "none" else None
+    w13_ref = next(it)
+    w13_s_ref = next(it) if wq_kind != "none" else None
+    w2_ref = next(it)
+    w2_s_ref = next(it) if wq_kind != "none" else None
+    if with_lm:
+        fnorm_ref = next(it)
+        lm_ref = next(it)
+    k_ref, v_ref = next(it), next(it)
+    hx_out_ref, res_out_ref = next(it), next(it)
+    logits_ref = next(it) if with_lm else None
+    kc_out_ref, vc_out_ref = next(it), next(it)
+    (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
+     krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
+
+    TA = G * (nc + 1)
+    T = TA + nb
+    t_all = pl.program_id(0)
+    l = jnp.minimum(t_all // T, L - 1)
+    t = t_all - l * T
+    seq = s_ref[0]
+    hd = head_dim
+    rows = hg * group * n                  # softmax panel rows per group step
+    f32 = jnp.float32
+
+    # ---- layer entry ---------------------------------------------------------
+    @pl.when(t == 0)
+    def _():
+        @pl.when(t_all == 0)
+        def _():
+            hx_s[...] = x_ref[...].astype(f32)
+            res_s[...] = jnp.zeros_like(res_s)
+        r1 = hx_s[...] + res_s[...]
+        res_s[...] = r1
+        var = jnp.mean(r1 * r1, axis=-1, keepdims=True)
+        xnorm_s[...] = r1 * jax.lax.rsqrt(var + eps) * _m2(an_ref).astype(f32)
+        aout_s[...] = jnp.zeros_like(aout_s)
+
+    # ---- attention phases ----------------------------------------------------
+    in_attn = t < TA
+    tt = jnp.minimum(t, TA - 1)
+    g_id = tt // (nc + 1)
+    c_id = tt % (nc + 1)
+
+    @pl.when(jnp.logical_and(in_attn, c_id == 0))
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)         # [n, hidden]
+        if wq_kind == "none":
+            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
+        elif wq_kind == "int8":
+            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
+                          preferred_element_type=f32) * _m2(wqkv_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
+            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+        cos_f = cos_ref[...].astype(f32)               # [n, hd] per-row
+        sin_f = sin_ref[...].astype(f32)
+        scale = (1.0 / math.sqrt(hd)) * _LOG2E
+        for h in range(hg):
+            base = h * (group + 2) * hd
+            k = _rope_vec(qkv[:, base + group * hd: base + (group + 1) * hd],
+                          cos_f, sin_f, rope_style)    # [n, hd]
+            v = qkv[:, base + (group + 1) * hd: base + (group + 2) * hd]
+            kv_s[h * n:(h + 1) * n, :] = k
+            kv_s[(hg + h) * n:(hg + h + 1) * n, :] = v
+            for i in range(group):
+                qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
+                               cos_f, sin_f, rope_style)
+                r0 = (h * group + i) * n
+                q_s[r0:r0 + n, :] = qi * scale
+        # n-row cache append: one RMW over a Wr-row aligned window
+        cap_ = kc_out_ref.shape[2]
+        # //8*8 outermost so Mosaic can prove the DMA start is tile-aligned
+        row8 = (jnp.minimum(seq, cap_ - Wr) // 8) * 8
+        off = seq - row8                               # in [0, Wr - n]
+        ksl = kc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, Wr)]
+        vsl = vc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, Wr)]
+        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
+        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
+        k_in.start()
+        v_in.start()
+        k_in.wait()
+        v_in.wait()
+        sub = jax.lax.broadcasted_iota(jnp.int32, (hg, Wr, hd), 1)
+        kv_all = kv_s[...].reshape(2, hg, n, hd)
+        for tok in range(n):
+            sel = sub == off + tok
+            k_tok = kv_all[0, :, tok].astype(krow_s.dtype)     # [hg, hd]
+            v_tok = kv_all[1, :, tok].astype(vrow_s.dtype)
+            krow_s[...] = jnp.where(sel, k_tok[:, None, :], krow_s[...])
+            vrow_s[...] = jnp.where(sel, v_tok[:, None, :], vrow_s[...])
+        k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
+        v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
+        k_out.start()
+        v_out.start()
+        k_out.wait()
+        v_out.wait()
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
+        ml_s[1, :] = jnp.zeros((rows,), f32)
+
+    c = c_id - 1
+    @pl.when(jnp.logical_and(in_attn,
+                             jnp.logical_and(c_id >= 1, c * kv_chunk < seq)))
+    def _():
+        pos_base = c * kv_chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
+        row_valid = (pos_base + row_iota) < seq
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group * n, kv_chunk), 1)
+        col_valid = (pos_base + col_iota) < seq
+        for h in range(hg):
+            r0 = h * group * n
+            q = q_s[r0:r0 + group * n, :].astype(jnp.bfloat16)
+            kc = k_ref[0, h].astype(jnp.bfloat16)
+            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
+            scores = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            scores = jnp.where(col_valid, scores, _NEG_INF)
+            m_old = ml_s[0, r0:r0 + group * n].reshape(group * n, 1)
+            l_old = ml_s[1, r0:r0 + group * n].reshape(group * n, 1)
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            acc_s[r0:r0 + group * n, :] = \
+                acc_s[r0:r0 + group * n, :] * alpha + pv
+            ml_s[0, r0:r0 + group * n] = m_new[:, 0]
+            ml_s[1, r0:r0 + group * n] = \
+                (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    @pl.when(jnp.logical_and(in_attn, c_id == nc))
+    def _():
+        # n x n causal block against the fresh draft K/V, then O-projection
+        # panel rows: (h, i, tok) -> token index = row % n
+        qtok = jax.lax.broadcasted_iota(jnp.int32, (group * n, n), 0) % n
+        ktok = jax.lax.broadcasted_iota(jnp.int32, (group * n, n), 1)
+        causal = ktok <= qtok
+        o_rows = []
+        for h in range(hg):
+            r0 = h * group * n
+            q = q_s[r0:r0 + group * n, :]
+            k_new = kv_s[h * n:(h + 1) * n, :]          # [n, hd] f32
+            v_new = kv_s[(hg + h) * n:(hg + h + 1) * n, :]
+            s_cur = jax.lax.dot_general(
+                q, k_new, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)             # [group*n, n]
+            s_cur = jnp.where(causal, s_cur, _NEG_INF)
+            m_old = ml_s[0, r0:r0 + group * n].reshape(group * n, 1)
+            l_old = ml_s[1, r0:r0 + group * n].reshape(group * n, 1)
+            m_f = jnp.maximum(m_old, jnp.max(s_cur, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_f)
+            p_cur = jnp.exp2(s_cur - m_f) * causal.astype(f32)
+            pv = jnp.dot(p_cur.astype(jnp.bfloat16),
+                         v_new.astype(jnp.bfloat16),
+                         preferred_element_type=f32)
+            acc = acc_s[r0:r0 + group * n, :] * alpha + pv
+            l_f = l_old * alpha + jnp.sum(p_cur, axis=-1, keepdims=True)
+            o_rows.append((acc / l_f).astype(jnp.bfloat16))  # [group*n, hd]
+        # [hg*group, n, hd] -> per-token flat [n, hg*group*hd]
+        o = jnp.concatenate(o_rows, axis=0).reshape(hg * group, n, hd)
+        o_flat = jnp.transpose(o, (1, 0, 2)).reshape(n, hg * group * hd)
+        if wq_kind == "none":
+            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref),
+                                   preferred_element_type=f32)
+        elif wq_kind == "int8":
+            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
+                                   preferred_element_type=f32) * _m2(wo_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+            aout_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+
+    # ---- FFN phases ----------------------------------------------------------
+    in_ffn = jnp.logical_and(t >= TA, t < T)
+    @pl.when(t == TA)
+    def _():
+        r2 = aout_s[...] + res_s[...]
+        res_s[...] = r2
+        var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
+        xnorm_s[...] = r2 * jax.lax.rsqrt(var + eps) * _m2(fn_ref).astype(f32)
+        ffn_s[...] = jnp.zeros_like(ffn_s)
+
+    @pl.when(in_ffn)
+    def _():
+        xn = xnorm_s[...].astype(jnp.bfloat16)
+        w = _r3(w13_ref)
+        if wq_kind == "none":
+            y_g = jnp.dot(xn, w[0], preferred_element_type=f32)
+            y_u = jnp.dot(xn, w[1], preferred_element_type=f32)
+        elif wq_kind == "int8":
+            s = _r3(w13_s_ref)
+            y_g = jnp.dot(xn, w[0].astype(jnp.bfloat16),
+                          preferred_element_type=f32) * s[0]
+            y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
+                          preferred_element_type=f32) * s[1]
+        else:
+            from clusterfusion_tpu.ops.quant import (expand_group_scales,
+                                                     unpack_int4)
+            sb = _r3(w13_s_ref).astype(jnp.bfloat16)
+            wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
+                * expand_group_scales(sb[0], 0, gs_q)
+            wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
+                * expand_group_scales(sb[1], 0, gs_q)
+            y_g = jnp.dot(xn, wg, preferred_element_type=f32)
+            y_u = jnp.dot(xn, wu, preferred_element_type=f32)
+        act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
+        if wq_kind == "none":
+            ffn_s[...] += jnp.dot(act, _m2(w2_ref),
+                                  preferred_element_type=f32)
+        elif wq_kind == "int8":
+            ffn_s[...] += jnp.dot(act, _m2(w2_ref).astype(jnp.bfloat16),
+                                  preferred_element_type=f32)
+        else:
+            from clusterfusion_tpu.ops.quant import (expand_group_scales,
+                                                     unpack_int4)
+            w2v = unpack_int4(_m2(w2_ref), 1).astype(jnp.bfloat16) \
+                * expand_group_scales(_m2(w2_s_ref).astype(jnp.bfloat16),
+                                      0, gs_q)
+            ffn_s[...] += jnp.dot(act, w2v, preferred_element_type=f32)
+
+    # ---- layer exit ----------------------------------------------------------
+    @pl.when(t == T - 1)
+    def _():
+        out = ffn_s[...]
+        if wq_kind == "int8":
+            out = out * _m2(w2_s_ref)
+        hx_s[...] = out
+
+        @pl.when(l == L - 1)
+        def _():
+            hx_out_ref[...] = out.astype(hx_out_ref.dtype)
+            res_out_ref[...] = res_s[...].astype(res_out_ref.dtype)
+
+    # ---- LM-head phases ------------------------------------------------------
+    if with_lm:
+        @pl.when(t == T)
+        def _():
+            xf = hx_s[...] + res_s[...]
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            xnorm_s[...] = xf * jax.lax.rsqrt(var + eps) \
+                * fnorm_ref[...].astype(f32)
+
+        @pl.when(t >= T)
+        def _():
+            xn = xnorm_s[...].astype(jnp.bfloat16)
+            logits_ref[...] = jnp.dot(xn, lm_ref[...],
+                                      preferred_element_type=f32)
+
+
+def fused_verify_stack(
+    x, attn_norm, ffn_norm, cos, sin, wqkv_f, wo_f, w13, w2,
+    k_cache, v_cache, pos,
+    *,
+    group: int,
+    head_dim: int,
+    rope_style: str,
+    eps: float,
+    kcfg: KernelConfig = KernelConfig(),
+    interpret=None,
+    final_norm=None,
+    lm_head=None,
+):
+    """One kernel call scoring n tokens through the whole decoder stack.
+
+    Same operands as ``fused_decoder_stack`` except x: [n, hidden] and
+    cos/sin: [n, head_dim] (rows for positions pos..pos+n-1).  Requires
+    ``pos + n + 8 <= capacity`` (the append RMW window must fit).
+    Returns (x_out [n, hidden] | logits [n, vocab], residual_out,
+    k_cache', v_cache') with all n K/V rows appended per layer.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    n, hidden = x.shape
+    hd = head_dim
+    dt = x.dtype
+    L_, kv_heads, cap, _ = k_cache.shape
+    Wr = round_up(n + 7, 8)
+    assert cap >= Wr, (cap, Wr)
+
+    wq_kind, gs_q = "none", 0
+    if isinstance(wqkv_f, QuantizedTensor):
+        wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
+        w13_q, w13_s = w13.q, w13.s.astype(jnp.float32)
+        w2_q, w2_s = w2.q, w2.s.astype(jnp.float32)
+        G = wqkv_f.shape[1]
+        qkv_cols = wqkv_f.shape[-1]
+        f_pad = w2.shape[-2]
+    else:
+        wqkv_q, wo_q, w13_q, w2_q = wqkv_f, wo_f, w13, w2
+        wqkv_s = wo_s = w13_s = w2_s = None
+        G = wqkv_f.shape[1]
+        qkv_cols = wqkv_f.shape[-1]
+        f_pad = w2.shape[-2]
+    hg = kv_heads // G
+    assert qkv_cols == hg * (group + 2) * hd
+    pack = 2 if wq_kind == "int4" else 1
+
+    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    nc = max(cdiv(cap, chunk), 1)
+    bf = ffn_block_size(f_pad)
+    nb = f_pad // bf
+    TA = G * (nc + 1)
+    T = TA + nb
+
+    with_lm = lm_head is not None
+    if with_lm:
+        V = lm_head.shape[-1]
+        bv = _vocab_block(V)
+        assert bv > 0, f"vocab {V} has no lane-aligned block <= 2048"
+        nv = V // bv
+    else:
+        nv = bv = 0
+    total = L_ * T + nv
+    wo_rows = hg * group * hd
+
+    def l_of(ta):
+        return jnp.minimum(ta // T, L_ - 1)
+
+    def g_of(ta):
+        lx = l_of(ta)
+        t = ta - lx * T
+        return jnp.minimum(t, TA - 1) // (nc + 1)
+
+    def j_of(ta):
+        lx = l_of(ta)
+        t = ta - lx * T
+        return jnp.clip(t - TA, 0, nb - 1)
+
+    def jv_of(ta):
+        return jnp.clip(ta - L_ * T, 0, max(nv - 1, 0))
+
+    def kv_index_map(ta, s):
+        lx = l_of(ta)
+        t = ta - lx * T
+        tt = jnp.minimum(t, TA - 1)
+        c_i = tt % (nc + 1)
+        last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
+        cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        return (lx, g_of(ta), cix, 0)
+
+    in_specs = [
+        pl.BlockSpec((n, hidden), lambda ta, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, hd), lambda ta, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, hd), lambda ta, s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [x, attn_norm[:, None], ffn_norm[:, None], cos, sin]
+
+    def add(arr, spec):
+        in_specs.append(spec)
+        inputs.append(arr)
+
+    add(wqkv_q, pl.BlockSpec((1, 1, hidden // pack, qkv_cols),
+                             lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
+                             memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(wqkv_s, pl.BlockSpec((1, 1, wqkv_s.shape[-2], qkv_cols),
+                                 lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
+                                 memory_space=pltpu.VMEM))
+    add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
+                           lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
+                           memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(wo_s, pl.BlockSpec((1, 1, wo_s.shape[-2], hidden),
+                               lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
+                               memory_space=pltpu.VMEM))
+    add(w13_q, pl.BlockSpec((1, 2, hidden // pack, bf),
+                            lambda ta, s: (l_of(ta), 0, 0, j_of(ta)),
+                            memory_space=pltpu.VMEM))
+    if wq_kind != "none":
+        add(w13_s, pl.BlockSpec((1, 2, w13_s.shape[-2], bf),
+                                lambda ta, s: (l_of(ta), 0, 0, j_of(ta)),
+                                memory_space=pltpu.VMEM))
+    add(w2_q, pl.BlockSpec((1, bf, hidden // pack),
+                           lambda ta, s: (l_of(ta), j_of(ta), 0),
+                           memory_space=pltpu.VMEM))
+    if wq_kind == "int8":
+        add(w2_s, pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
+                               memory_space=pltpu.VMEM))
+    elif wq_kind == "int4":
+        add(w2_s, pl.BlockSpec((1, bf // gs_q, hidden),
+                               lambda ta, s: (l_of(ta), j_of(ta), 0),
+                               memory_space=pltpu.VMEM))
+    if with_lm:
+        add(final_norm.reshape(1, hidden),
+            pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
+                         memory_space=pltpu.VMEM))
+        add(lm_head, pl.BlockSpec((hidden, bv),
+                                  lambda ta, s: (0, jv_of(ta)),
+                                  memory_space=pltpu.VMEM))
+    k_alias_idx = 1 + len(inputs)
+    add(k_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                              memory_space=pltpu.VMEM))
+    add(v_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                              memory_space=pltpu.VMEM))
+
+    out_specs = [
+        pl.BlockSpec((n, hidden), lambda ta, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, hidden), lambda ta, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_lm:
+        out_specs.append(pl.BlockSpec((n, bv),
+                                      lambda ta, s: (0, jv_of(ta)),
+                                      memory_space=pltpu.VMEM))
+    out_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((n, hidden), jnp.float32),            # xnorm
+            pltpu.VMEM((hg * group * n, hd), jnp.float32),   # q panel
+            pltpu.VMEM((hg * group * n, hd), jnp.float32),   # softmax acc
+            pltpu.VMEM((n, hidden), jnp.float32),            # attn out
+            pltpu.VMEM((2, hg * group * n), jnp.float32),    # (m, l)
+            pltpu.VMEM((2 * hg * n, hd), jnp.float32),       # fresh k/v rows
+            pltpu.VMEM((n, hidden), jnp.float32),            # hx carry
+            pltpu.VMEM((n, hidden), jnp.float32),            # residual carry
+            pltpu.VMEM((n, hidden), jnp.float32),            # ffn acc
+            pltpu.VMEM((hg, Wr, hd), k_cache.dtype),         # K append RMW
+            pltpu.VMEM((hg, Wr, hd), v_cache.dtype),         # V append RMW
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _verify_kernel, n=n, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
+        nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv, Wr=Wr,
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+
+    wbytes = sum(w.size * w.dtype.itemsize
+                 for w in (wqkv_q, wo_q, w13_q, w2_q))
+    flops = 2 * n * L_ * (hidden * (group + 2) * hd * kv_heads
+                          + kv_heads * group * (cap + n) * hd * 2
+                          + kv_heads * group * hd * hidden
+                          + 3 * hidden * f_pad)
+    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_cache.dtype.itemsize
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n, hidden), dt),
+        jax.ShapeDtypeStruct((n, hidden), dt),
+    ]
+    if with_lm:
+        out_shape.append(jax.ShapeDtypeStruct((n, V), jnp.float32))
+    out_shape += [
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    n_pre = 3 if with_lm else 2
+    aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
+
+    seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nbytes,
+            transcendentals=n * L_ * (kv_heads * cap + f_pad)),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(seq_arr, *inputs)
+    if with_lm:
+        x_out, res_out, logits, kc, vc = results
+        return logits, res_out, kc, vc
+    x_out, res_out, kc, vc = results
+    return x_out, res_out, kc, vc
