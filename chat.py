@@ -33,6 +33,12 @@ def main():
                     help="weight-only quantization (dequant fused in-kernel)")
     ap.add_argument("--kv_fp8", action="store_true",
                     help="store the KV cache as float8_e4m3")
+    ap.add_argument("--spec_draft", type=str, default=None,
+                    help="draft checkpoint dir for speculative decoding "
+                         "('synthetic' for a random tiny draft); forces "
+                         "greedy sampling")
+    ap.add_argument("--n_draft", type=int, default=4,
+                    help="draft tokens per speculative round")
     args = ap.parse_args()
 
     from clusterfusion_tpu.config import LlamaConfig
@@ -53,11 +59,32 @@ def main():
                           max_seq_len=args.max_seq_len, fused=fused,
                           quant=args.quant, kv_dtype=kv_dtype)
 
+    draft = None
+    if args.spec_draft == "synthetic":
+        dcfg = LlamaConfig.tiny(max_seq_len=args.max_seq_len)
+        draft = Llama.synthetic(dcfg, seed=1, fused=fused)
+    elif args.spec_draft:
+        draft = Llama.build(args.spec_draft, args.tokenizer_path,
+                            max_seq_len=args.max_seq_len, fused=fused)
+
     toks = gen.tokenizer.encode(args.prompt, bos=True, eos=False)
     print(f"[prompt: {len(toks)} tokens | fused={gen.fused}"
           + (f" | quant={args.quant}" if args.quant else "")
-          + (" | kv=fp8" if args.kv_fp8 else "") + "]")
+          + (" | kv=fp8" if args.kv_fp8 else "")
+          + (f" | spec n_draft={args.n_draft}" if draft else "") + "]")
     t0 = time.perf_counter()
+    if draft is not None:
+        out = gen.spec_generate(toks, args.max_gen_len, draft,
+                                n_draft=args.n_draft)
+        n = len(out)
+        sys.stdout.write(gen.tokenizer.decode(out))
+        sys.stdout.flush()
+        dt = time.perf_counter() - t0
+        st = gen.spec_stats
+        print(f"\n\n[{n} tokens in {dt:.2f}s -> {n / dt:.2f} tokens/sec | "
+              f"{st['rounds']} rounds, {st['accepted_drafts']} drafts "
+              f"accepted]")
+        return
     n = 0
     pieces = []
     for t in gen.stream_generate(toks, args.max_gen_len, args.temperature,

@@ -224,3 +224,139 @@ def load_checkpoint(path: str, max_seq_len: int = 2048, dtype=jnp.bfloat16):
     if os.path.exists(os.path.join(path, "config.json")):
         return load_hf_checkpoint(path, max_seq_len, dtype)
     raise FileNotFoundError(f"no params.json or config.json under {path}")
+
+
+# --- HF DeepSeek-V2 --------------------------------------------------------
+
+
+def _deinterleave_rope_rows(w: np.ndarray) -> np.ndarray:
+    """HF DeepSeek stores rope dims interleaved and permutes at runtime
+    (`modeling_deepseek.DeepseekV2Attention`: view(d/2, 2).transpose);
+    fold that permutation into the rows once at load so the kernel's NEOX
+    rotate-half applies directly.  w: [rope_dim, ...] row-permuted."""
+    d = w.shape[0]
+    return np.concatenate([w[0::2], w[1::2]], axis=0)
+
+
+def load_deepseek_hf(model_dir: str, max_seq_len: int = 4096,
+                     dtype=jnp.bfloat16):
+    """Load an HF DeepSeek-V2(-lite) directory into the kernel-native
+    pre-fused layout of ``models.deepseek`` (wproj | wuk | wuv | wo_t).
+
+    Layer uniformity: DeepSeek-V2 mixes dense-MLP layers
+    (first_k_dense_replace) with MoE layers (shared + routed experts);
+    the stacked-layer model needs uniform shapes, so the dense MLP and
+    the concatenated shared experts both land in the per-layer shared
+    FFN, zero-padded to the wider of the two (zero gate/up columns are
+    exact SwiGLU no-ops), and dense layers carry all-zero routed experts
+    and router rows (zero experts contribute exactly zero).
+
+    Requires v_head_dim == qk_nope_head_dim (true for V2 and V2-lite).
+    Returns (params, DeepSeekConfig)."""
+    from clusterfusion_tpu.config import DeepSeekConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hc = json.load(f)
+    h = hc["num_attention_heads"]
+    nope = hc["qk_nope_head_dim"]
+    rope = hc["qk_rope_head_dim"]
+    lora = hc["kv_lora_rank"]
+    v_dim = hc["v_head_dim"]
+    assert v_dim == nope, (v_dim, nope)
+    hidden = hc["hidden_size"]
+    L = hc["num_hidden_layers"]
+    E = hc.get("n_routed_experts", 0) or 0
+    top_k = hc.get("num_experts_per_tok", 2) or 2
+    f_dense = hc["intermediate_size"]
+    f_moe = hc.get("moe_intermediate_size", 0) or 0
+    n_shared = hc.get("n_shared_experts", 0) or 0
+    first_dense = hc.get("first_k_dense_replace", 0)
+    f_shared = max(f_dense, n_shared * f_moe)
+
+    cfg = DeepSeekConfig(
+        hidden_dim=hidden, n_heads=h, nope_head_dim=nope,
+        rope_head_dim=rope, kv_lora_rank=lora,
+        norm_eps=hc.get("rms_norm_eps", 1e-6), n_layers=L,
+        ffn_dim=f_shared, vocab_size=hc["vocab_size"],
+        max_seq_len=max_seq_len, rope_theta=hc.get("rope_theta", 10000.0),
+        n_experts=E, moe_top_k=top_k, moe_ffn_dim=f_moe)
+
+    state = _load_hf_state(model_dir)
+
+    def npf(name):
+        return state[name].astype(np.float32)
+
+    def pad_shared(w13, w2, f):
+        if f < f_shared:
+            w13 = np.pad(w13, ((0, 0), (0, 0), (0, f_shared - f)))
+            w2 = np.pad(w2, ((0, f_shared - f), (0, 0)))
+        return w13, w2
+
+    Ls = {k: [] for k in ("wproj", "wuk", "wuv", "wo_t", "attn_norm",
+                          "ckv_norm", "w13", "w2", "ffn_norm",
+                          "router", "w13_e", "w2_e")}
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        q = npf(pre + "self_attn.q_proj.weight").reshape(h, nope + rope,
+                                                         hidden)
+        q_nope = q[:, :nope]                               # [h, nope, hid]
+        q_pe = np.stack([_deinterleave_rope_rows(q[j, nope:])
+                         for j in range(h)])               # [h, rope, hid]
+        kv_a = npf(pre + "self_attn.kv_a_proj_with_mqa.weight")
+        ckv_w = kv_a[:lora]                                # [lora, hid]
+        kpe_w = _deinterleave_rope_rows(kv_a[lora:])       # [rope, hid]
+        wproj = np.concatenate([
+            q_nope.reshape(h * nope, hidden).T,
+            q_pe.reshape(h * rope, hidden).T,
+            ckv_w.T, kpe_w.T], axis=-1)                    # [hid, n_proj]
+        kv_b = npf(pre + "self_attn.kv_b_proj.weight").reshape(
+            h, nope + v_dim, lora)
+        Ls["wproj"].append(wproj)
+        Ls["wuk"].append(kv_b[:, :nope])                   # [h, nope, lora]
+        Ls["wuv"].append(kv_b[:, nope:].transpose(0, 2, 1))  # [h, lora, v]
+        Ls["wo_t"].append(npf(pre + "self_attn.o_proj.weight").T)
+        Ls["attn_norm"].append(npf(pre + "input_layernorm.weight"))
+        Ls["ckv_norm"].append(npf(pre + "self_attn.kv_a_layernorm.weight"))
+        Ls["ffn_norm"].append(npf(pre + "post_attention_layernorm.weight"))
+
+        moe_layer = E > 0 and i >= first_dense
+        if moe_layer:
+            sg = [npf(pre + "mlp.shared_experts.gate_proj.weight").T]
+            su = [npf(pre + "mlp.shared_experts.up_proj.weight").T]
+            sd = [npf(pre + "mlp.shared_experts.down_proj.weight").T]
+            w13 = np.stack([np.concatenate(sg, -1), np.concatenate(su, -1)])
+            w2 = np.concatenate(sd, 0)
+            w13, w2 = pad_shared(w13, w2, w13.shape[-1])
+            Ls["router"].append(npf(pre + "mlp.gate.weight").T)  # [hid, E]
+            e13, e2 = [], []
+            for e in range(E):
+                ep = pre + f"mlp.experts.{e}."
+                e13.append(np.stack([npf(ep + "gate_proj.weight").T,
+                                     npf(ep + "up_proj.weight").T]))
+                e2.append(npf(ep + "down_proj.weight").T)
+            Ls["w13_e"].append(np.stack(e13))
+            Ls["w2_e"].append(np.stack(e2))
+        else:
+            w13 = np.stack([npf(pre + "mlp.gate_proj.weight").T,
+                            npf(pre + "mlp.up_proj.weight").T])
+            w2 = npf(pre + "mlp.down_proj.weight").T
+            w13, w2 = pad_shared(w13, w2, w2.shape[0])
+            if E:
+                Ls["router"].append(np.zeros((hidden, E), np.float32))
+                Ls["w13_e"].append(np.zeros((E, 2, hidden, f_moe),
+                                            np.float32))
+                Ls["w2_e"].append(np.zeros((E, f_moe, hidden), np.float32))
+        Ls["w13"].append(w13)
+        Ls["w2"].append(w2)
+
+    layers = {k: jnp.asarray(np.stack(v), dtype)
+              for k, v in Ls.items() if v}
+    lm_key = ("lm_head.weight" if "lm_head.weight" in state
+              else "model.embed_tokens.weight")
+    params = {
+        "embed": jnp.asarray(npf("model.embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(npf("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(npf(lm_key), dtype).T,
+    }
+    return params, cfg
