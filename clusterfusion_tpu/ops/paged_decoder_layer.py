@@ -139,9 +139,9 @@ def _paged_kernel(
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             # fp8 pools cast at the dot (same policy as the single-seq kernel)
-            kc = k_ref[0, 0, :, h].astype(jnp.bfloat16)   # [page, hd]
+            kc = k_ref[0, 0, h].astype(jnp.bfloat16)      # [page, hd]
             vc = jnp.where(row_valid,
-                           v_ref[0, 0, :, h].astype(jnp.bfloat16), 0)
+                           v_ref[0, 0, h].astype(jnp.bfloat16), 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             scores = jnp.where(col_valid, scores, _NEG_INF)
@@ -206,7 +206,7 @@ def llama_decoder_layer_paged(
     block_table: jnp.ndarray,  # [B, max_pages] int32 pool page ids
     seq_lens: jnp.ndarray,     # [B] int32 cached tokens (excl. current)
     positions: jnp.ndarray,    # [B] int32 rope positions
-    k_pool: jnp.ndarray,       # [L, n_pages, page, kv_heads, hd]
+    k_pool: jnp.ndarray,       # [L, n_pages, kv_heads, page, hd]
     v_pool: jnp.ndarray,
     layer_id,
     rms_w: jnp.ndarray,        # [1, hidden]
@@ -249,7 +249,7 @@ def llama_decoder_layer_paged(
     # level would copy the layer's weights per call — see ops.stack_kernel)
     stacked = len(wshape) == 4
     G, _, qkv_cols = wshape[-3:]
-    L, n_pages, page, kv_heads, hd = k_pool.shape
+    L, n_pages, kv_heads, page, hd = k_pool.shape
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * hd
     max_pages = block_table.shape[1]
@@ -266,7 +266,7 @@ def llama_decoder_layer_paged(
     def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
         last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
         pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
-        return (meta_s[0], pg, 0, g, 0)
+        return (meta_s[0], pg, g, 0, 0)
 
     def rope_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
         return (pos_s[b], 0, 0)
@@ -302,9 +302,12 @@ def llama_decoder_layer_paged(
         in_specs.append(wspec(wo_s.shape[-2], hidden))
         inputs.append(wo_s)
     in_specs += [
-        pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+        # heads lead the page axis so the tiled trailing dims are
+        # (page, hd) — an hg block in sublane position would need to be
+        # 8-divisible or full (kv_heads=32, hg=4 at 7B violates that)
+        pl.BlockSpec((1, 1, hg, page, hd), kv_index_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, page, hg, hd), kv_index_map,
+        pl.BlockSpec((1, 1, hg, page, hd), kv_index_map,
                      memory_space=pltpu.VMEM),
     ]
     inputs += [k_pool, v_pool]
@@ -368,8 +371,8 @@ def llama_decoder_layer_paged(
     pg = block_table[b_idx, seq_lens // page]
     off = seq_lens % page
     lidx = jnp.broadcast_to(meta[0], (B,))
-    k_pool = k_pool.at[lidx, pg, off].set(k_new.astype(k_pool.dtype))
-    v_pool = v_pool.at[lidx, pg, off].set(v_new.astype(v_pool.dtype))
+    k_pool = k_pool.at[lidx, pg, :, off].set(k_new.astype(k_pool.dtype))
+    v_pool = v_pool.at[lidx, pg, :, off].set(v_new.astype(v_pool.dtype))
     return out, res_out, k_pool, v_pool
 
 
@@ -423,9 +426,9 @@ def llama_decoder_layer_batch_decode_sglang(
     table = paged_kv_indices[jnp.clip(starts + j, 0, max_pages - 1)]
     seq_lens = paged_kv_indptr[1:] - paged_kv_indptr[:-1] - 1  # excl. new slot
 
-    # pool [L, pages, hidden] -> [L, pages, 1, heads, hd]
-    k_pool = k_cache.reshape(L, num_pages, 1, heads, hd)
-    v_pool = v_cache.reshape(L, num_pages, 1, heads, hd)
+    # pool [L, pages, hidden] -> [L, pages, heads, 1, hd]
+    k_pool = k_cache.reshape(L, num_pages, heads, 1, hd)
+    v_pool = v_cache.reshape(L, num_pages, heads, 1, hd)
 
     # fused cos‖sin half-table -> full-dim tables
     cos_h = cos_sin[:, : hd // 2]

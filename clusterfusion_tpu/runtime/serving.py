@@ -132,7 +132,9 @@ class ServingEngine:
         self.prefill_chunk = prefill_chunk
         self.sched = PagedKVScheduler(num_pages, page_size, max_pages_per_req)
         self.max_batch = max_batch
-        shape = (cfg.n_layers, num_pages, page_size, cfg.kv_heads,
+        # heads before the page axis: the paged kernel's KV blocks tile
+        # (page, head_dim), so any head-group size stays legal on TPU
+        shape = (cfg.n_layers, num_pages, cfg.kv_heads, page_size,
                  cfg.head_dim_)
         self.k_pool = jnp.zeros(shape, kv_dtype)
         self.v_pool = jnp.zeros(shape, kv_dtype)
@@ -191,12 +193,12 @@ class ServingEngine:
         owned = self.sched.request_pages(req.id)
         n_used = min(len(owned), cap // page)
         pages = owned[:n_used]
-        k_pages = (kc.transpose(0, 2, 1, 3)[:, : n_used * page]
-                   .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
-                            cfg.head_dim_))
-        v_pages = (vc.transpose(0, 2, 1, 3)[:, : n_used * page]
-                   .reshape(cfg.n_layers, n_used, page, cfg.kv_heads,
-                            cfg.head_dim_))
+        k_pages = (kc[:, :, : n_used * page]
+                   .reshape(cfg.n_layers, cfg.kv_heads, n_used, page,
+                            cfg.head_dim_).transpose(0, 2, 1, 3, 4))
+        v_pages = (vc[:, :, : n_used * page]
+                   .reshape(cfg.n_layers, cfg.kv_heads, n_used, page,
+                            cfg.head_dim_).transpose(0, 2, 1, 3, 4))
         pages_j = jnp.asarray(np.asarray(pages), jnp.int32)
         self.k_pool = self.k_pool.at[:, pages_j].set(
             k_pages.astype(self.k_pool.dtype))
@@ -244,8 +246,17 @@ class ServingEngine:
         tokens = np.zeros(mb, np.int32)
         for b in range(B):
             tokens[b] = self._reqs[int(ids[b])].cur_token
-        table_p = np.zeros((mb, P), np.int32)
-        table_p[:B] = table
+        # bucket the page-walk width by the LIVE max length (power of two):
+        # the kernel grid walks table.shape[1] pages, so capacity-width
+        # tables cost ~7x in grid-step overhead at 1K ctx (measured 216 ->
+        # 30 ms/step at 7B); one compile per bucket, <= log2(P) variants
+        need_pages = int(max(lens)) // self.page_size + 1
+        w = 1
+        while w < need_pages:
+            w *= 2
+        w = min(w, P)
+        table_p = np.zeros((mb, w), np.int32)
+        table_p[:B] = table[:, :w]
         lens_p = np.zeros(mb, np.int32)
         lens_p[:B] = lens
         poss_p = np.zeros(mb, np.int32)

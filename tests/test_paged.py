@@ -103,8 +103,8 @@ def test_block_table_paged_vs_single_seq_oracle(page):
 
     x = jax.random.normal(ks[1], (B, HIDDEN), dtype)
     res = jax.random.normal(ks[2], (B, HIDDEN), dtype)
-    k_pool = jax.random.normal(ks[3], (L, num_pages, page, HEADS, HEAD_DIM), dtype)
-    v_pool = jax.random.normal(ks[4], (L, num_pages, page, HEADS, HEAD_DIM), dtype)
+    k_pool = jax.random.normal(ks[3], (L, num_pages, HEADS, page, HEAD_DIM), dtype)
+    v_pool = jax.random.normal(ks[4], (L, num_pages, HEADS, page, HEAD_DIM), dtype)
 
     rng = np.random.RandomState(1)
     table = jnp.asarray(rng.permutation(num_pages)[: B * max_pages]
@@ -129,9 +129,9 @@ def test_block_table_paged_vs_single_seq_oracle(page):
         rows = []
         for t in range(s):
             pg, off = int(table[b, t // page]), t % page
-            rows.append(np.asarray(k_pool[0, pg, off]).reshape(HIDDEN))
+            rows.append(np.asarray(k_pool[0, pg, :, off]).reshape(HIDDEN))
         kc = jnp.asarray(np.stack(rows))
-        rows = [np.asarray(v_pool[0, int(table[b, t // page]), t % page])
+        rows = [np.asarray(v_pool[0, int(table[b, t // page]), :, t % page])
                 .reshape(HIDDEN) for t in range(s)]
         vc = jnp.asarray(np.stack(rows))
         want = llama_decoder_layer_sglang_ref(
@@ -142,5 +142,5 @@ def test_block_table_paged_vs_single_seq_oracle(page):
         assert _mx(res_out[b:b + 1], want[1]) < 2e-2, f"req {b} residual"
         # new kv landed in the right pool slot
         pg, off = int(table[b, s // page]), s % page
-        assert _mx(kp2[0, pg, off].reshape(1, HIDDEN), want[2]) < 5e-2
-        assert _mx(vp2[0, pg, off].reshape(1, HIDDEN), want[3]) < 5e-2
+        assert _mx(kp2[0, pg, :, off].reshape(1, HIDDEN), want[2]) < 5e-2
+        assert _mx(vp2[0, pg, :, off].reshape(1, HIDDEN), want[3]) < 5e-2
