@@ -443,3 +443,230 @@ def llama_decoder_layer_batch_decode_sglang(
     return (out, res_out,
             k_pool.reshape(L, num_pages, hidden),
             v_pool.reshape(L, num_pages, hidden))
+
+
+# --------------------------------------------------------------------------
+# Lean batched paged attention: pages only, weights stay outside.
+#
+# The fused per-layer megakernel above re-runs its M=1 projection GEMVs per
+# request (grid (B, G, pages)), so a batch of B requests costs ~B x a
+# single-sequence decode (measured 160 ms at B=8/7B-int8 — no sharing).
+# At B >= 4 the TPU-right split is the opposite of the bs=1 design: do the
+# projections/O/FFN as BATCHED XLA matmuls (weights stream ONCE at M=B,
+# which the MXU likes), and keep Pallas only for what XLA cannot do — the
+# per-request scattered page walk with online softmax.  This kernel is
+# that piece: grid (B, pages + 1), all KV heads per step, no weight
+# operands.
+#
+# The new token's K/V is appended IN-KERNEL through input_output_aliased
+# pool outputs at the FINAL grid step per request (after every page read —
+# BlockSpec prefetch of a page the same step just wrote would race), with
+# the current token folded into the softmax state from registers exactly
+# like the single-sequence kernels.  An XLA-level scatter next to this
+# kernel is not an option: the pools are pallas operands, so the scatter
+# output must materialize — measured 116.7 ms/step vs 14.4 without the
+# scatter at 7B (a full pool copy per layer, the ops.stack_kernel copy
+# pitfall all over again).
+# --------------------------------------------------------------------------
+
+
+def _paged_attn_kernel(
+    meta_ref, lens_ref, pgrow_ref, off_ref, table_ref,    # scalar prefetch
+    q_ref, kn_ref, vn_ref, k_ref, v_ref,
+    o_ref, kp_out_ref, vp_out_ref,
+    acc_s, ml_s, krow_s, vrow_s, row_sem,
+    *,
+    kv_heads: int, group: int, head_dim: int, page: int,
+):
+    b_id = pl.program_id(0)
+    c_id = pl.program_id(1)
+    n_past = lens_ref[b_id]              # cached rows (EXCLUDING current)
+    hd = head_dim
+    rows = kv_heads * group
+    f32 = jnp.float32
+
+    @pl.when(c_id == 0)
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
+        ml_s[1, :] = jnp.zeros((rows,), f32)
+
+    @pl.when(jnp.logical_and(c_id >= 1, (c_id - 1) * page < n_past))
+    def _():
+        c = c_id - 1
+        pos_base = c * page
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (page, 1), 0)
+        row_valid = (pos_base + row_iota) < n_past
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, page), 1)
+        col_valid = (pos_base + col_iota) < n_past
+        for h in range(kv_heads):
+            q = q_ref[0, h].astype(jnp.bfloat16)            # [g, hd]
+            kc = k_ref[0, 0, h].astype(jnp.bfloat16)        # [page, hd]
+            vc = jnp.where(row_valid,
+                           v_ref[0, 0, h].astype(jnp.bfloat16), 0)
+            scores = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            scores = jnp.where(col_valid, scores, _NEG_INF)
+            r0 = h * group
+            m_old = ml_s[0, r0:r0 + group].reshape(group, 1)
+            l_old = ml_s[1, r0:r0 + group].reshape(group, 1)
+            m_new = jnp.maximum(m_old,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vc,
+                         preferred_element_type=f32)
+            acc_s[r0:r0 + group, :] = acc_s[r0:r0 + group, :] * alpha + pv
+            ml_s[0, r0:r0 + group] = m_new[:, 0]
+            ml_s[1, r0:r0 + group] = \
+                (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
+
+    @pl.when(c_id == pl.num_programs(1) - 1)
+    def _():
+        # fold the current token from registers, write output, then append
+        # its K/V row via an aligned RMW into the aliased pool
+        k_cur = kn_ref[0].astype(f32)                       # [kv, hd]
+        v_cur = vn_ref[0].astype(f32)
+        q = q_ref[0].astype(f32)                            # [kv, g, hd]
+        s_cur = jnp.sum(q * k_cur[:, None, :], axis=-1,
+                        keepdims=True).reshape(rows, 1)
+        m_old = ml_s[0, :].reshape(rows, 1)
+        l_old = ml_s[1, :].reshape(rows, 1)
+        m_f = jnp.maximum(m_old, s_cur)
+        alpha = jnp.exp2(m_old - m_f)
+        p_cur = jnp.exp2(s_cur - m_f)
+        if group == 1:
+            v_rows = v_cur
+        else:
+            v_rows = jnp.concatenate(
+                [pltpu.repeat(v_cur[h:h + 1], group, axis=0)
+                 for h in range(kv_heads)], axis=0)
+        acc = acc_s[...] * alpha + p_cur * v_rows
+        l_f = l_old * alpha + p_cur
+        o = acc / l_f
+        o_ref[...] = o.reshape(1, 1, rows * hd).astype(o_ref.dtype)
+
+        l = meta_ref[0]
+        pg = pgrow_ref[b_id]
+        off = off_ref[b_id]
+        row8 = (off // 8) * 8
+        ksl = kp_out_ref.at[l, pg, :, pl.ds(row8, 8)]
+        vsl = vp_out_ref.at[l, pg, :, pl.ds(row8, 8)]
+        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
+        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
+        k_in.start()
+        v_in.start()
+        k_in.wait()
+        v_in.wait()
+        sub = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, 8, hd), 1)
+        sel = sub == off - row8
+        krow_s[...] = jnp.where(sel, kn_ref[0].astype(krow_s.dtype)[:, None, :],
+                                krow_s[...])
+        vrow_s[...] = jnp.where(sel, vn_ref[0].astype(vrow_s.dtype)[:, None, :],
+                                vrow_s[...])
+        k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
+        v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
+        k_out.start()
+        v_out.start()
+        k_out.wait()
+        v_out.wait()
+
+
+def paged_attention(
+    q: jnp.ndarray,            # [B, kv_heads, group, head_dim] (rope'd, UNscaled)
+    k_new: jnp.ndarray,        # [B, kv_heads, head_dim] current token K (rope'd)
+    v_new: jnp.ndarray,        # [B, kv_heads, head_dim]
+    k_pool: jnp.ndarray,       # [L, n_pages, kv_heads, page, hd]
+    v_pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # [B, max_pages] int32
+    seq_lens: jnp.ndarray,     # [B] int32 cached rows (EXCLUDING current)
+    layer_id,
+    *,
+    kcfg: KernelConfig = KernelConfig(),
+    interpret=None,
+):
+    """Batched paged flash-decode attention + in-place append.
+
+    Attends each request's ``seq_lens[b]`` cached rows plus the current
+    token (folded from registers), appends the current K/V at
+    ``block_table[b, seq_lens[b]//page], seq_lens[b]%page`` through the
+    aliased pool outputs (donate the pools under jit), and returns
+    (o [B, kv·group·hd], k_pool', v_pool').  Softmax runs in the exp2
+    domain with 1/sqrt(hd) applied here.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    B, kv_heads, group, hd = q.shape
+    L, n_pages, _, page, _ = k_pool.shape
+    assert page % 8 == 0, page
+    max_pages = block_table.shape[1]
+    scale = (1.0 / math.sqrt(hd)) * _LOG2E
+    q = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+    meta = jnp.asarray(layer_id, jnp.int32).reshape(1)
+    lens = seq_lens.astype(jnp.int32)
+    table = block_table.astype(jnp.int32)
+    pgrow = table[jnp.arange(B), lens // page]
+    off = lens % page
+
+    def kv_im(b, c, meta_s, lens_s, pg_s, off_s, table_s):
+        last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
+        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
+        return (meta_s[0], pg, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, max_pages + 1),
+        in_specs=[
+            pl.BlockSpec((1, kv_heads, group, hd),
+                         lambda b, c, *s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_heads, hd), lambda b, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_heads, hd), lambda b, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_heads, page, hd), kv_im,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_heads, page, hd), kv_im,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # [B, 1, rows*hd]: singleton keeps tiled trailing dims legal
+            pl.BlockSpec((1, 1, kv_heads * group * hd),
+                         lambda b, c, *s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kv_heads * group, hd), jnp.float32),
+            pltpu.VMEM((2, kv_heads * group), jnp.float32),
+            pltpu.VMEM((kv_heads, 8, hd), k_pool.dtype),
+            pltpu.VMEM((kv_heads, 8, hd), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # aliased operand indices: 5 prefetch + 3 tensor inputs before the pools
+    n_inputs_before_pools = 5 + 3
+    out, kp, vp = pl.pallas_call(
+        functools.partial(_paged_attn_kernel, kv_heads=kv_heads, group=group,
+                          head_dim=hd, page=page),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, kv_heads * group * hd), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * kv_heads * group * max_pages * page * hd,
+            bytes_accessed=2 * B * kv_heads * max_pages * page * hd
+            * k_pool.dtype.itemsize,
+            transcendentals=B * kv_heads * group * max_pages * page),
+        input_output_aliases={n_inputs_before_pools: 1,
+                              n_inputs_before_pools + 1: 2},
+        interpret=interpret,
+    )(meta, lens, pgrow, off, table, q, k_new.astype(k_pool.dtype),
+      v_new.astype(v_pool.dtype), k_pool, v_pool)
+    return out.reshape(B, kv_heads * group * hd), kp, vp

@@ -37,8 +37,9 @@ from clusterfusion_tpu.config import round_up
 from clusterfusion_tpu.models import llama as model
 from clusterfusion_tpu.models.sampling import sample, sample_batch
 from clusterfusion_tpu.ops._support import interpret_mode
-from clusterfusion_tpu.ops.paged_decoder_layer import llama_decoder_layer_paged
-from clusterfusion_tpu.ops.quant import QuantizedTensor
+from clusterfusion_tpu.ops.paged_decoder_layer import (
+    llama_decoder_layer_paged, paged_attention)
+from clusterfusion_tpu.ops.quant import QuantizedTensor, maybe_dequantize
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
 from clusterfusion_tpu.runtime.native import PagedKVScheduler
 
@@ -105,6 +106,93 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
     return nxt.astype(jnp.int32), k_pool, v_pool
 
 
+def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
+                               block_table, seq_lens, key, temperatures,
+                               top_ps, cfg: LlamaConfig, kcfg: KernelConfig):
+    """Batched-matmul serving step (the B >= 4 design point).
+
+    The fused per-layer megakernel re-runs its M=1 projection GEMVs per
+    request, so a batch costs ~B x a single-sequence decode (measured
+    160 ms at B=8, 7B-int8 — no weight sharing).  Here the projections,
+    O-projection, FFN and LM head are BATCHED XLA matmuls — weights
+    stream from HBM once per step at M=B, which is exactly what the MXU
+    wants — and Pallas handles only what XLA cannot: the per-request
+    scattered page walk (``ops.paged_decoder_layer.paged_attention``).
+    """
+    B = tokens.shape[0]
+    g = cfg.n_heads // cfg.kv_heads
+    kv, hd = cfg.kv_heads, cfg.head_dim_
+    cos_t, sin_t = model.rope_table(cfg)
+    cos = cos_t[positions]                            # [B, hd]
+    sin = sin_t[positions]
+    x = params["embed"][tokens]                       # [B, hidden]
+    residual = jnp.zeros_like(x)
+    lw = params["layers"]
+
+    def idx(w, l):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), w)
+
+    def qkv_dot(xn, w):
+        """[B,h] @ [G,h,c] -> [B,G,c]; int8 scales commute with the dot
+        (applied to the [B,G,c] result — int8 streams from HBM as int8,
+        no materialized bf16 copy)."""
+        if isinstance(w, QuantizedTensor) and w.kind == "int8":
+            return (jnp.einsum("bd,Gdc->bGc", xn, w.q.astype(xn.dtype),
+                               preferred_element_type=jnp.float32)
+                    * w.s[:, 0, :]).astype(xn.dtype)
+        return jnp.einsum("bd,Gdc->bGc", xn, maybe_dequantize(w, xn.dtype),
+                          preferred_element_type=jnp.float32).astype(xn.dtype)
+
+    def o_dot(o3, w):
+        """[B,G,c] @ [G,c,hidden] -> [B,hidden] with per-group int8 scales
+        applied before the cross-group sum."""
+        if isinstance(w, QuantizedTensor) and w.kind == "int8":
+            y = jnp.einsum("bGc,Gco->bGo", o3, w.q.astype(o3.dtype),
+                           preferred_element_type=jnp.float32)
+            return jnp.sum(y * w.s[:, 0, :], axis=1)
+        return jnp.einsum("bGc,Gco->bo", o3, maybe_dequantize(w, o3.dtype),
+                          preferred_element_type=jnp.float32)
+
+    def layer(carry, l):
+        x, res, kp, vp = carry
+        an = jax.lax.dynamic_index_in_dim(lw["attn_norm"], l, 0,
+                                          keepdims=False)
+        xn, res = fused_add_rmsnorm_ref(x, res, an, cfg.norm_eps)
+        y = qkv_dot(xn, idx(lw["wqkv_f"], l))         # [B, G, hg*(g+2)*hd]
+        y = y.reshape(B, kv, (g + 2) * hd)
+        q = y[..., : g * hd].reshape(B, kv, g, hd)
+        k = y[..., g * hd:(g + 1) * hd]
+        v = y[..., (g + 1) * hd:]
+        q = model._apply_rope(q, cos[:, None, None, :],
+                              sin[:, None, None, :], cfg.rope_style)
+        k = model._apply_rope(k, cos[:, None, :], sin[:, None, :],
+                              cfg.rope_style)
+        # current token folded + appended INSIDE the kernel (aliased pools):
+        # an XLA scatter next to a pallas pool operand materializes a full
+        # pool copy per layer (measured 116.7 -> 14.4 ms/step without it)
+        o, kp, vp = paged_attention(q, k, v, kp, vp, block_table, seq_lens,
+                                    l, kcfg=kcfg, interpret=interpret_mode())
+        G = lw["wo_f"].shape[1]
+        attn = o_dot(o.reshape(B, G, (kv // G) * g * hd),
+                     idx(lw["wo_f"], l)).astype(x.dtype)
+        fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
+                                          keepdims=False)
+        xn2, res = fused_add_rmsnorm_ref(attn, res, fn, cfg.norm_eps)
+        h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+        return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
+
+    layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, residual, k_pool, v_pool), _ = jax.lax.scan(
+        layer, (x, residual, k_pool, v_pool), layer_idx)
+    xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
+                                  cfg.norm_eps)
+    logits = jnp.dot(xn, params["lm_head"],
+                     preferred_element_type=jnp.float32)
+    nxt = sample_batch(key, logits, temperatures, top_ps)
+    return nxt.astype(jnp.int32), k_pool, v_pool
+
+
 class ServingEngine:
     """Continuous-batching decode over a paged KV pool.
 
@@ -119,7 +207,8 @@ class ServingEngine:
                  kcfg: KernelConfig = KernelConfig(),
                  eos_id: Optional[int] = None,
                  kv_dtype=jnp.bfloat16, seed: int = 0,
-                 prefill_chunk: Optional[int] = 1024):
+                 prefill_chunk: Optional[int] = 1024,
+                 step_impl: str = "batched"):
         if max_pages_per_req is None:
             max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
         self.params = params
@@ -140,8 +229,13 @@ class ServingEngine:
         self.v_pool = jnp.zeros(shape, kv_dtype)
         self._reqs: Dict[int, _Req] = {}
         self._key = jax.random.PRNGKey(seed)
+        # "batched": weights stream once per step at M=B (the B>=4
+        # design point); "fused": the per-layer megakernel (B=1 parity)
+        assert step_impl in ("batched", "fused")
+        impl = (_paged_decode_step_batched if step_impl == "batched"
+                else _paged_decode_step)
         self._step = jax.jit(
-            functools.partial(_paged_decode_step, cfg=cfg, kcfg=kcfg),
+            functools.partial(impl, cfg=cfg, kcfg=kcfg),
             donate_argnums=(1, 2))
 
     # -- request lifecycle ---------------------------------------------------
