@@ -163,6 +163,55 @@ def _time_prefill(params, cfg) -> float:
     return T / min(run() for _ in range(3))
 
 
+def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24) -> float:
+    """Aggregate tok/s of the batched serving step (B concurrent requests,
+    paged pools), timed as an on-device chain — the host-driven engine
+    loop pays a relay roundtrip per step in this environment, which a
+    production dispatcher does not."""
+    import functools
+
+    from clusterfusion_tpu.config import KernelConfig
+    from clusterfusion_tpu.runtime.serving import _paged_decode_step_batched
+
+    page, P = 16, 16
+    num_pages = B * P + 1
+    kp = jnp.zeros((cfg.n_layers, num_pages, cfg.kv_heads, page,
+                    cfg.head_dim_), jnp.bfloat16)
+    vp = jnp.zeros_like(kp)
+    table = jnp.asarray((1 + np.arange(B * P).reshape(B, P)) % num_pages,
+                        jnp.int32)
+    lens = jnp.full((B,), page * P - n_steps * 2 - 2, jnp.int32)
+    temps = jnp.zeros((B,), jnp.float32)
+    tops = jnp.full((B,), 0.9, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def chain(n):
+        @jax.jit
+        def run(params, kp, vp, toks):
+            def body(c, _):
+                t, a, b2 = c
+                nxt, a, b2 = _paged_decode_step_batched(
+                    params, a, b2, t, lens, table, lens, key, temps, tops,
+                    cfg=cfg, kcfg=KernelConfig())
+                return (nxt, a, b2), ()
+            (t, _, _), _ = jax.lax.scan(body, (toks, kp, vp), None, length=n)
+            return t
+        return run
+
+    toks = jnp.zeros((B,), jnp.int32)
+    r1, r2 = chain(n_steps), chain(2 * n_steps)
+    def t(r):
+        _fetch(r(qparams, kp, vp, toks))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fetch(r(qparams, kp, vp, toks))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    ms = (t(r2) - t(r1)) / n_steps * 1e3
+    return B / ms * 1e3
+
+
 def _synth_quant_params(cfg, kind: str):
     """Random params with already-quantized projection weights, built
     directly in the quantized layout (synthesizing — rather than
@@ -236,11 +285,17 @@ def main():
     # fp16-only reference): ordered before the bf16 model so HBM never has
     # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
+    serving_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
             jax.block_until_ready(qparams["embed"])
             quant_tps[kind] = _time_decode(qparams, cfg, n_gen, fused=True)
+            if kind == "int8" and not small:
+                try:
+                    serving_tps = _time_serving(qparams, cfg, B=8)
+                except Exception as e:  # pragma: no cover
+                    print(f"# serving bench failed: {e!r}", flush=True)
             del qparams
             gc.collect()
         except Exception as e:  # pragma: no cover - bench resilience
@@ -286,6 +341,8 @@ def main():
         "int4_tokens_per_s": round(quant_tps["int4"], 2)
         if quant_tps.get("int4") else None,
         "prefill_tokens_per_s": round(prefill_tps, 0),
+        "serving_int8_b8_tokens_per_s": round(serving_tps, 1)
+        if serving_tps else None,
         "device": str(jax.devices()[0]),
     }))
 

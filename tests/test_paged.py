@@ -144,3 +144,53 @@ def test_block_table_paged_vs_single_seq_oracle(page):
         pg, off = int(table[b, s // page]), s % page
         assert _mx(kp2[0, pg, :, off].reshape(1, HIDDEN), want[2]) < 5e-2
         assert _mx(vp2[0, pg, :, off].reshape(1, HIDDEN), want[3]) < 5e-2
+
+
+def test_paged_attention_matches_oracle():
+    """The lean batched paged-attention kernel (batched-step building
+    block) vs dense masked attention on the gathered pages, including the
+    in-kernel append of the current token."""
+    from clusterfusion_tpu.ops.paged_decoder_layer import paged_attention
+
+    rng = np.random.RandomState(3)
+    B, kv, g, hd, page, P, L = 2, 4, 2, 128, 8, 4, 2
+    num_pages = B * P + 1
+    q = jnp.asarray(rng.randn(B, kv, g, hd), jnp.bfloat16)
+    k_new = jnp.asarray(rng.randn(B, kv, hd), jnp.bfloat16)
+    v_new = jnp.asarray(rng.randn(B, kv, hd), jnp.bfloat16)
+    kp = jnp.asarray(rng.randn(L, num_pages, kv, page, hd), jnp.bfloat16)
+    vp = jnp.asarray(rng.randn(L, num_pages, kv, page, hd), jnp.bfloat16)
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: B * P]
+                        .reshape(B, P).astype(np.int32) + 1) % num_pages
+    lens = jnp.asarray([11, 26], jnp.int32)
+    layer = 1
+
+    o, kp2, vp2 = jax.jit(paged_attention, static_argnames=())(
+        q, k_new, v_new, kp, vp, table, lens, layer)
+
+    for b in range(2):
+        s = int(lens[b])
+        rows_k, rows_v = [], []
+        for t in range(s):
+            pg, off = int(table[b, t // page]), t % page
+            rows_k.append(np.asarray(kp[layer, pg, :, off], np.float32))
+            rows_v.append(np.asarray(vp[layer, pg, :, off], np.float32))
+        rows_k.append(np.asarray(k_new[b], np.float32))
+        rows_v.append(np.asarray(v_new[b], np.float32))
+        K = np.stack(rows_k)                       # [s+1, kv, hd]
+        V = np.stack(rows_v)
+        qb = np.asarray(q[b], np.float32)          # [kv, g, hd]
+        scores = np.einsum("kgd,skd->kgs", qb, K) / np.sqrt(hd)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("kgs,skd->kgd", p, V).reshape(kv * g * hd)
+        got = np.asarray(o[b], np.float32)
+        np.testing.assert_allclose(got, want, atol=0.03)
+        # appended row landed in the right slot
+        pg, off = int(table[b, s // page]), s % page
+        np.testing.assert_allclose(
+            np.asarray(kp2[layer, pg, :, off], np.float32),
+            np.asarray(k_new[b], np.float32), atol=0.02)
+    # other layers untouched
+    np.testing.assert_array_equal(np.asarray(kp2[0], np.float32),
+                                  np.asarray(kp[0], np.float32))
