@@ -11,7 +11,7 @@ from clusterfusion_tpu.parallel.sharding import (
     cache_shardings,
     shard_params,
 )
-from clusterfusion_tpu.parallel.decode import make_sharded_decode_step
+from clusterfusion_tpu.parallel.decode import make_sharded_decode_step, make_sharded_serving_step
 from clusterfusion_tpu.parallel.sp_decode import (
     cache_pspec_2d,
     cache_shardings_2d,

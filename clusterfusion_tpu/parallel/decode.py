@@ -107,3 +107,91 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
         check_rep=False,
     )
     return jax.jit(step)
+
+
+def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
+                              kcfg: KernelConfig = KernelConfig()):
+    """Tensor-parallel BATCHED serving step over an ICI mesh — the north
+    star's "multi-chip sharding with continuous batching" (BASELINE.md):
+    the ServingEngine's batched-matmul step (runtime.serving), with heads,
+    FFN columns, paged KV pools, and the LM head sharded over ``tp``.
+
+    Per chip: local head-group projections (M=B matmuls on the weight
+    shard), the lean paged-attention kernel over the LOCAL kv-head slice
+    of the pools, then the two reference reduction points as ICI psums
+    (O-projection = Stage::ATTN, FFN down-proj = Stage::LINEAR).
+
+    ``step(params, k_pool, v_pool, tokens, positions, table, seq_lens)
+    -> (logits [B, vocab], k_pool', v_pool')``.  Pools are sharded
+    ``P(None, None, "tp")`` (kv-heads axis); batch is replicated.
+    bf16 params only (quantized sharding: use the single-chip engine)."""
+    from clusterfusion_tpu.ops.paged_decoder_layer import paged_attention
+
+    tp = mesh.shape["tp"]
+    kv_local = cfg.kv_heads // tp
+    g = cfg.n_heads // cfg.kv_heads
+    hd = cfg.head_dim_
+
+    def local_step(params, k_pool, v_pool, tokens, positions, table,
+                   seq_lens):
+        B = tokens.shape[0]
+        cos_t, sin_t = model.rope_table(cfg)
+        cos = cos_t[positions]
+        sin = sin_t[positions]
+        x = params["embed"][tokens]
+        residual = jnp.zeros_like(x)
+        lw = params["layers"]
+
+        def idx(w, l):
+            return jax.lax.dynamic_index_in_dim(w, l, 0, keepdims=False)
+
+        def layer(carry, l):
+            x, res, kp, vp = carry
+            xn, res = fused_add_rmsnorm_ref(x, res, idx(lw["attn_norm"], l),
+                                            cfg.norm_eps)
+            y = jnp.einsum("bd,Gdc->bGc", xn, idx(lw["wqkv_f"], l),
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+            y = y.reshape(B, kv_local, (g + 2) * hd)
+            q = y[..., : g * hd].reshape(B, kv_local, g, hd)
+            k = y[..., g * hd:(g + 1) * hd]
+            v = y[..., (g + 1) * hd:]
+            q = model._apply_rope(q, cos[:, None, None, :],
+                                  sin[:, None, None, :], cfg.rope_style)
+            k = model._apply_rope(k, cos[:, None, :], sin[:, None, :],
+                                  cfg.rope_style)
+            o, kp, vp = paged_attention(q, k, v, kp, vp, table, seq_lens,
+                                        l, kcfg=kcfg,
+                                        interpret=interpret_mode())
+            G = lw["wo_f"].shape[1]
+            attn = jnp.einsum(
+                "bGc,Gco->bo",
+                o.reshape(B, G, (kv_local // G) * g * hd),
+                idx(lw["wo_f"], l),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            attn = cluster_reduce(attn, "tp", Stage.ATTN)
+            xn2, res = fused_add_rmsnorm_ref(attn, res,
+                                             idx(lw["ffn_norm"], l),
+                                             cfg.norm_eps)
+            h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+            h = cluster_reduce(h, "tp", Stage.LINEAR)
+            return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
+
+        layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, residual, k_pool, v_pool), _ = jax.lax.scan(
+            layer, (x, residual, k_pool, v_pool), layer_idx)
+        xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
+                                      cfg.norm_eps)
+        logits = jnp.dot(xn, params["lm_head"],
+                         preferred_element_type=jnp.float32)
+        return logits, k_pool, v_pool            # logits vocab-sharded
+
+    pool_spec = P(None, None, "tp")
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(param_pspecs(cfg, tp), pool_spec, pool_spec,
+                  P(), P(), P(), P()),
+        out_specs=(P(None, "tp"), pool_spec, pool_spec),
+        check_rep=False,
+    )
+    return jax.jit(step)

@@ -181,3 +181,52 @@ print("ep OK", err)
 """
     out = _run_cpu(code)
     assert "ep OK" in out
+
+
+def test_sharded_serving_step_matches_single_device():
+    """tp=4 sharded BATCHED serving step (multi-chip continuous batching —
+    the BASELINE.md north star) == the single-device batched step."""
+    code = """
+import functools
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig, KernelConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import build_mesh, shard_params
+from clusterfusion_tpu.parallel.decode import make_sharded_serving_step
+from clusterfusion_tpu.runtime.serving import _paged_decode_step_batched
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+B, page, P_, num_pages, L = 2, 8, 4, 16, cfg.n_layers
+rng = np.random.RandomState(0)
+shape = (L, num_pages, cfg.kv_heads, page, cfg.head_dim_)
+kp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+vp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+table = jnp.asarray(np.arange(1, 1 + B * P_).reshape(B, P_), jnp.int32)
+lens = jnp.asarray([11, 5], jnp.int32)
+toks = jnp.asarray([3, 9], jnp.int32)
+
+# single-device reference via the batched step (greedy: temperature 0)
+key = jax.random.PRNGKey(0)
+nxt_ref, kp_ref, vp_ref = jax.jit(functools.partial(
+    _paged_decode_step_batched, cfg=cfg, kcfg=KernelConfig()))(
+    params, kp, vp, toks, lens, table, lens, key,
+    jnp.zeros((B,)), jnp.full((B,), 0.9))
+
+mesh = build_mesh(MeshConfig(dp=1, tp=4, sp=2), devices=jax.devices()[:8])
+sp = shard_params(params, cfg, mesh)
+pool_sh = NamedSharding(mesh, P(None, None, "tp"))
+kps = jax.device_put(kp, pool_sh)
+vps = jax.device_put(vp, pool_sh)
+step = make_sharded_serving_step(cfg, mesh)
+logits, kps, vps = step(sp, kps, vps, toks, lens, table, lens)
+nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+assert list(np.asarray(nxt)) == list(np.asarray(nxt_ref)), (nxt, nxt_ref)
+kerr = float(jnp.max(jnp.abs(jnp.asarray(kps, jnp.float32)
+                             - jnp.asarray(kp_ref, jnp.float32))))
+assert kerr < 5e-2, kerr
+print("SHARDED_SERVING_OK")
+"""
+    out = _run_cpu(code)
+    assert "SHARDED_SERVING_OK" in out
