@@ -121,10 +121,33 @@ class DeepSeekConfig:
     n_experts: int = 0
     moe_top_k: int = 2
     moe_ffn_dim: int = 1408
+    # gating convention: V2/V2-Lite configs set norm_topk_prob=false with a
+    # routed_scaling_factor (16.0 / 1.0); V3 renormalizes the top-k probs
+    moe_norm_topk_prob: bool = True
+    moe_routed_scaling: float = 1.0
+    # YaRN rope scaling (V2/V2-Lite ship {type: yarn, factor 40, ...});
+    # yarn_factor <= 1 disables.  mscale_all_dim feeds the softmax scale
+    # (HF multiplies head_dim**-0.5 by get_mscale(factor, mscale_all)^2).
+    yarn_factor: float = 1.0
+    yarn_orig_max: int = 4096
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_mscale: float = 1.0
+    yarn_mscale_all_dim: float = 0.0
 
     @property
     def head_dim(self) -> int:
         return self.nope_head_dim + self.rope_head_dim
+
+    @property
+    def softmax_scale(self) -> float:
+        import math
+        base = 1.0 / math.sqrt(self.head_dim)
+        if self.yarn_factor > 1.0:
+            from clusterfusion_tpu.ops.rope import yarn_softmax_scale_mult
+            base *= yarn_softmax_scale_mult(self.yarn_factor,
+                                            self.yarn_mscale_all_dim)
+        return base
 
     @property
     def mla_head_dim(self) -> int:

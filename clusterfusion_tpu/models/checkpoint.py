@@ -240,7 +240,7 @@ def _deinterleave_rope_rows(w: np.ndarray) -> np.ndarray:
 
 def load_deepseek_hf(model_dir: str, max_seq_len: int = 4096,
                      dtype=jnp.bfloat16):
-    """Load an HF DeepSeek-V2(-lite) directory into the kernel-native
+    """Load an HF DeepSeek-V2-Lite-style directory into the kernel-native
     pre-fused layout of ``models.deepseek`` (wproj | wuk | wuv | wo_t).
 
     Layer uniformity: DeepSeek-V2 mixes dense-MLP layers
@@ -251,7 +251,11 @@ def load_deepseek_hf(model_dir: str, max_seq_len: int = 4096,
     exact SwiGLU no-ops), and dense layers carry all-zero routed experts
     and router rows (zero experts contribute exactly zero).
 
-    Requires v_head_dim == qk_nope_head_dim (true for V2 and V2-lite).
+    YaRN rope scaling from config.json is honored (freq ramp + the
+    mscale^2 softmax-scale correction).  Requires a direct q projection
+    (V2-Lite; V2-proper's q-LoRA + intermediate layernorm cannot fold
+    into wproj -> clear NotImplementedError) and
+    v_head_dim == qk_nope_head_dim.
     Returns (params, DeepSeekConfig)."""
     from clusterfusion_tpu.config import DeepSeekConfig
 
@@ -273,13 +277,36 @@ def load_deepseek_hf(model_dir: str, max_seq_len: int = 4096,
     first_dense = hc.get("first_k_dense_replace", 0)
     f_shared = max(f_dense, n_shared * f_moe)
 
+    if hc.get("q_lora_rank"):
+        raise NotImplementedError(
+            "DeepSeek-V2 proper uses a low-rank q projection with a "
+            "layernorm between q_a_proj and q_b_proj (q_lora_rank="
+            f"{hc['q_lora_rank']}), which cannot be folded into the fused "
+            "wproj; only direct-q checkpoints (V2-Lite) are supported")
+
+    rs = hc.get("rope_scaling") or {}
+    yarn = dict(yarn_factor=1.0)
+    if rs:
+        assert rs.get("type", "yarn") == "yarn", rs
+        yarn = dict(
+            yarn_factor=float(rs.get("factor", 1.0)),
+            yarn_orig_max=int(rs.get("original_max_position_embeddings",
+                                     4096)),
+            yarn_beta_fast=float(rs.get("beta_fast", 32.0)),
+            yarn_beta_slow=float(rs.get("beta_slow", 1.0)),
+            yarn_mscale=float(rs.get("mscale", 1.0)),
+            yarn_mscale_all_dim=float(rs.get("mscale_all_dim", 0.0)))
+
     cfg = DeepSeekConfig(
         hidden_dim=hidden, n_heads=h, nope_head_dim=nope,
         rope_head_dim=rope, kv_lora_rank=lora,
         norm_eps=hc.get("rms_norm_eps", 1e-6), n_layers=L,
         ffn_dim=f_shared, vocab_size=hc["vocab_size"],
         max_seq_len=max_seq_len, rope_theta=hc.get("rope_theta", 10000.0),
-        n_experts=E, moe_top_k=top_k, moe_ffn_dim=f_moe)
+        n_experts=E, moe_top_k=top_k, moe_ffn_dim=f_moe,
+        moe_norm_topk_prob=bool(hc.get("norm_topk_prob", False)),
+        moe_routed_scaling=float(hc.get("routed_scaling_factor", 1.0)),
+        **yarn)
 
     state = _load_hf_state(model_dir)
 

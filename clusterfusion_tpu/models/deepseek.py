@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from clusterfusion_tpu.config import DeepSeekConfig, KernelConfig
 from clusterfusion_tpu.models.llama import _ffn
-from clusterfusion_tpu.ops.deepseek_layer import deepseek_decoder_layer_fused
+from clusterfusion_tpu.ops.deepseek_layer import (
+    deepseek_decoder_layer_fused, deepseek_decoder_stack_layer)
 from clusterfusion_tpu.ops.moe import moe_ffn_decode, moe_ffn_dense
 from clusterfusion_tpu.ops.reference import rmsnorm_ref
 from clusterfusion_tpu.ops.rope import apply_rope_neox, rope_tables_neox
@@ -40,9 +41,17 @@ DeepSeekParams = Dict[str, Any]
 
 
 def rope_table(cfg: DeepSeekConfig, max_pos: int | None = None):
-    """Half-dim NEOX (cos, sin) tables [max_pos, rope_head_dim/2]."""
-    return rope_tables_neox(cfg.rope_head_dim, max_pos or cfg.max_seq_len,
-                            cfg.rope_theta)
+    """Half-dim NEOX (cos, sin) tables [max_pos, rope_head_dim/2]
+    (YaRN-scaled when cfg.yarn_factor > 1 — V2/V2-Lite checkpoints)."""
+    mp = max_pos or cfg.max_seq_len
+    if cfg.yarn_factor > 1.0:
+        from clusterfusion_tpu.ops.rope import rope_tables_yarn
+        return rope_tables_yarn(
+            cfg.rope_head_dim, mp, cfg.rope_theta, factor=cfg.yarn_factor,
+            orig_max=cfg.yarn_orig_max, beta_fast=cfg.yarn_beta_fast,
+            beta_slow=cfg.yarn_beta_slow, mscale=cfg.yarn_mscale,
+            mscale_all_dim=cfg.yarn_mscale_all_dim)
+    return rope_tables_neox(cfg.rope_head_dim, mp, cfg.rope_theta)
 
 
 def init_params(cfg: DeepSeekConfig, key, dtype=jnp.bfloat16) -> DeepSeekParams:
@@ -111,7 +120,7 @@ def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
 
     q_lora = jnp.einsum("hd,hdr->hr", q_nope, p["wuk"].astype(f32))
     q = jnp.concatenate([q_lora, q_pe], axis=-1)           # [h, mla]
-    scale = 1.0 / jnp.sqrt(jnp.float32(nope + rope))
+    scale = jnp.float32(cfg.softmax_scale)
     cache_f = cache_l.astype(f32)
     scores = q @ cache_f.T * scale                         # [h, cap]
     valid = jnp.arange(cache_l.shape[0])[None, :] < pos
@@ -138,33 +147,49 @@ def _decode_step_impl(params: DeepSeekParams, cache, token, pos,
     sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (1, half))[0]
     x = params["embed"][token][None]                       # [1, hidden]
 
-    def layer(carry, xs):
+    lw = params["layers"]
+
+    def layer(carry, l):
         x, cache = carry
-        p, l = xs
-        cache_l = jax.lax.dynamic_index_in_dim(cache, l, 0, keepdims=False)
         if fused:
-            attn, ckv_new = deepseek_decoder_layer_fused(
-                x, p["wproj"], p["wuk"], p["wuv"], p["wo_t"], cache_l, pos,
-                p["attn_norm"], p["ckv_norm"], cos, sin,
+            # whole stacks + the full cache enter the kernel; the layer is
+            # picked by a prefetched scalar and the new compressed row is
+            # appended in place through the aliased cache output (per-layer
+            # slices through pallas operands would copy them per call)
+            attn, cache = deepseek_decoder_stack_layer(
+                x, lw["wproj"], lw["wuk"], lw["wuv"], lw["wo_t"], cache,
+                pos, l, lw["attn_norm"], lw["ckv_norm"], cos, sin,
                 n_heads=cfg.n_heads, nope_dim=cfg.nope_head_dim,
                 rope_dim=cfg.rope_head_dim, lora_rank=cfg.kv_lora_rank,
-                eps=cfg.norm_eps, kernel_config=kcfg)
+                eps=cfg.norm_eps, kernel_config=kcfg,
+                softmax_scale=cfg.softmax_scale)
+            p = None
         else:
+            p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0,
+                                                       keepdims=False), lw)
+            cache_l = jax.lax.dynamic_index_in_dim(cache, l, 0,
+                                                   keepdims=False)
             attn, ckv_new = _eager_mla(x, p, cache_l, pos, cos, sin, cfg)
-        cache = jax.lax.dynamic_update_slice(
-            cache, ckv_new[None].astype(cache.dtype), (l, pos, 0))
+            cache = jax.lax.dynamic_update_slice(
+                cache, ckv_new[None].astype(cache.dtype), (l, pos, 0))
+        if p is None:
+            p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0,
+                                                       keepdims=False), lw)
         x = x + attn.astype(x.dtype)
         xn2 = rmsnorm_ref(x, p["ffn_norm"], cfg.norm_eps)
         y = _ffn(xn2, p["w13"], p["w2"])         # shared expert (dense)
         if cfg.n_experts:
             y = y + moe_ffn_decode(xn2, p["router"], p["w13_e"], p["w2_e"],
-                                   cfg.moe_top_k)
+                                   cfg.moe_top_k,
+                                   norm_topk_prob=cfg.moe_norm_topk_prob,
+                                   routed_scaling_factor=cfg.moe_routed_scaling)
         x = x + y
         return (x, cache), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, cache), _ = jax.lax.scan(layer, (x, cache),
-                                 (params["layers"], layer_idx))
+    (x, cache), _ = jax.lax.scan(layer, (x, cache), layer_idx)
     xn = rmsnorm_ref(x, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(xn[0], params["lm_head"],
                      preferred_element_type=jnp.float32)
@@ -207,7 +232,7 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
 
         q_lora = jnp.einsum("thd,hdr->thr", q_nope, p["wuk"].astype(f32))
         q = jnp.concatenate([q_lora, q_pe], axis=-1)       # [T, h, mla]
-        scale = 1.0 / jnp.sqrt(jnp.float32(nope + rope))
+        scale = jnp.float32(cfg.softmax_scale)
         scores = jnp.einsum("thm,sm->hts", q, rows) * scale
         scores = jnp.where(mask[None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
@@ -219,7 +244,9 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
         y = _ffn(xn2, p["w13"], p["w2"])         # shared expert (dense)
         if cfg.n_experts:
             y = y + moe_ffn_dense(xn2, p["router"], p["w13_e"], p["w2_e"],
-                                  cfg.moe_top_k)
+                                  cfg.moe_top_k,
+                                  norm_topk_prob=cfg.moe_norm_topk_prob,
+                                  routed_scaling_factor=cfg.moe_routed_scaling)
         x = x + y
         return x, rows.astype(cache.dtype)
 
@@ -230,22 +257,25 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
     return logits, cache
 
 
-def decode_loop(params, cache, first_token, start_pos, cfg: DeepSeekConfig,
-                n_steps: int, fused: bool = True,
-                kcfg: KernelConfig = KernelConfig()):
-    """Greedy on-device decode of ``n_steps`` tokens (one dispatch)."""
-    @functools.partial(jax.jit, static_argnames=())
-    def run(cache, first_token, start_pos):
-        def body(carry, _):
-            tok, pos, cache = carry
-            logits, cache = _decode_step_impl(params, cache, tok, pos, cfg,
-                                              kcfg, fused)
-            nxt = jnp.argmax(logits).astype(jnp.int32)
-            return (nxt, pos + 1, cache), nxt
-        (_, _, cache), toks = jax.lax.scan(
-            body, (first_token, start_pos, cache), None, length=n_steps)
-        return toks, cache
-    return run(cache, first_token, start_pos)
+def _decode_loop_impl(params, cache, first_token, start_pos,
+                      cfg: DeepSeekConfig, n_steps: int, fused: bool = True,
+                      kcfg: KernelConfig = KernelConfig()):
+    def body(carry, _):
+        tok, pos, cache = carry
+        logits, cache = _decode_step_impl(params, cache, tok, pos, cfg,
+                                          kcfg, fused)
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        return (nxt, pos + 1, cache), nxt
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (first_token, start_pos, cache), None, length=n_steps)
+    return toks, cache
+
+
+# module-level jit: params enter as arguments (closure-captured params
+# would retrace per call AND bake 13+ GB of constants into the program)
+decode_loop = jax.jit(_decode_loop_impl,
+                      static_argnames=("cfg", "n_steps", "fused", "kcfg"))
 
 
 def generate_greedy(params, cfg: DeepSeekConfig, prompt, n_gen: int,

@@ -182,7 +182,7 @@ class Llama:
                     self.params, k_cache, v_cache, draft.params, kd, vd,
                     tok, jnp.asarray(pos, jnp.int32), cfg, draft.cfg,
                     kcfg=self.kcfg, n_draft=n_draft, n_rounds=r,
-                    draft_fused=draft.fused)
+                    draft_fused=draft.fused, target_fused=self.fused)
             counts = np.asarray(counts)
             emitted = spec_mod.flatten_rounds(np.asarray(targets), counts)
             rounds += r

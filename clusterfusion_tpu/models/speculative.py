@@ -160,7 +160,7 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
 
 def _spec_round(params, draft_params, carry, cfg: LlamaConfig,
                 draft_cfg: LlamaConfig, n_draft: int, kcfg: KernelConfig,
-                draft_fused: bool):
+                draft_fused: bool, target_fused: bool):
     """One speculative round.  carry = (tok, pos, kc_t, vc_t, kc_d, vc_d).
     Returns (carry', (targets [n_draft+1], n_emitted))."""
     tok, pos, kc_t, vc_t, kc_d, vc_d = carry
@@ -185,7 +185,7 @@ def _spec_round(params, draft_params, carry, cfg: LlamaConfig,
     # -- target scores [tok, d1..dn] in one forward -> t1..t_{n+1}
     vtoks = jnp.concatenate([tok[None], drafts])
     logits, kc_t, vc_t = verify_step(params, kc_t, vc_t, vtoks, pos, cfg,
-                                     kcfg)
+                                     kcfg, target_fused)
     targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n_draft+1]
 
     # longest agreeing prefix: drafts[:m] == targets[:m]; emit targets[:m+1]
@@ -202,7 +202,7 @@ def _spec_decode_impl(params, k_cache, v_cache, draft_params, kd_cache,
                       cfg: LlamaConfig, draft_cfg: LlamaConfig,
                       kcfg: KernelConfig = KernelConfig(),
                       n_draft: int = 4, n_rounds: int = 16,
-                      draft_fused: bool = True):
+                      draft_fused: bool = True, target_fused: bool = True):
     """On-device speculative decode: ``n_rounds`` rounds of draft+verify in
     one dispatch.  The draft's cache must be prefilled with the same
     prompt.  Returns (targets [n_rounds, n_draft+1], counts [n_rounds],
@@ -211,7 +211,7 @@ def _spec_decode_impl(params, k_cache, v_cache, draft_params, kd_cache,
     with the counts and stop at their length budget."""
     def body(carry, _):
         carry, out = _spec_round(params, draft_params, carry, cfg, draft_cfg,
-                                 n_draft, kcfg, draft_fused)
+                                 n_draft, kcfg, draft_fused, target_fused)
         return carry, out
 
     carry = (first_token, start_pos, k_cache, v_cache, kd_cache, vd_cache)
@@ -223,7 +223,7 @@ def _spec_decode_impl(params, k_cache, v_cache, draft_params, kd_cache,
 spec_decode_loop = jax.jit(
     _spec_decode_impl,
     static_argnames=("cfg", "draft_cfg", "kcfg", "n_draft", "n_rounds",
-                     "draft_fused"),
+                     "draft_fused", "target_fused"),
     donate_argnums=(1, 2, 4, 5))
 
 

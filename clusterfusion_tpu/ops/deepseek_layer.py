@@ -45,29 +45,35 @@ _NEG_INF = -1e30
 
 
 def _mla_kernel(
-    # scalar prefetch: [seq_len]
+    # scalar prefetch: [seq_len, layer_id]
     s_ref,
     # inputs
     x_ref, rms_in_ref, rms_ckv_ref, cos_ref, sin_ref,
     wproj_ref, wuk_ref, wuv_ref, wo_ref, cache_ref,
-    # outputs
-    out_ref, ckv_new_ref,
-    # scratch
-    q_s, acc_s, ml_s, cur_s,
-    *,
+    # outputs (+ aliased cache out and RMW scratch when append=True)
+    *refs,
     heads: int,
     nope: int,
     rope: int,
     lora: int,
     kv_chunk: int,
     eps: float,
+    softmax_scale: float,
+    append: bool = False,
 ):
+    it = iter(refs)
+    out_ref = next(it)
+    ckv_new_ref = next(it)
+    cache_out_ref = next(it) if append else None
+    q_s, acc_s, ml_s, cur_s = (next(it) for _ in range(4))
+    if append:
+        row_s, row_sem = next(it), next(it)
     c_id = pl.program_id(0)
     n_chunks = pl.num_programs(0) - 1
     seq = s_ref[0]
     mla = lora + rope
     f32 = jnp.float32
-    scale = (1.0 / math.sqrt(nope + rope)) * _LOG2E
+    scale = softmax_scale * _LOG2E
 
     # ---- step 0: norm + fused projections + rope + absorb -------------------
     @pl.when(c_id == 0)
@@ -77,7 +83,7 @@ def _mla_kernel(
         xn = (x * jax.lax.rsqrt(var + eps)
               * rms_in_ref[...].astype(f32)).astype(jnp.bfloat16)
         # one N-wide dot: [q_nope (h·nope) | q_pe (h·rope) | ckv (lora) | k_pe]
-        proj = jnp.dot(xn, wproj_ref[...], preferred_element_type=f32)
+        proj = jnp.dot(xn, wproj_ref[0], preferred_element_type=f32)
         qn_off, qp_off = 0, heads * nope
         ckv_off = qp_off + heads * rope
         kpe_off = ckv_off + lora
@@ -97,7 +103,7 @@ def _mla_kernel(
         # per-head: absorb q_nope through W_UK; q rows = [q_lora | q_pe]
         for h in range(heads):
             qn = proj[:, qn_off + h * nope: qn_off + (h + 1) * nope]
-            ql = jnp.dot(qn.astype(jnp.bfloat16), wuk_ref[h],
+            ql = jnp.dot(qn.astype(jnp.bfloat16), wuk_ref[0, h],
                          preferred_element_type=f32)         # [1, lora]
             qp = _rope_vec(proj[:, qp_off + h * rope: qp_off + (h + 1) * rope],
                            cos_f, sin_f, "neox")
@@ -152,11 +158,30 @@ def _mla_kernel(
         # per-head W_UV expansion, then one N-wide O-projection
         rows = []
         for h in range(heads):
-            rows.append(jnp.dot(o[h:h + 1], wuv_ref[h],
+            rows.append(jnp.dot(o[h:h + 1], wuv_ref[0, h],
                                 preferred_element_type=f32))  # [1, nope]
         o_nope = jnp.concatenate(rows, axis=-1).astype(jnp.bfloat16)
-        out_ref[...] = jnp.dot(o_nope, wo_ref[...],
+        out_ref[...] = jnp.dot(o_nope, wo_ref[0],
                                preferred_element_type=f32).astype(out_ref.dtype)
+        if append:
+            # in-place compressed-row append via an aligned RMW DMA into
+            # the aliased [L, cap, mla] cache (an XLA-level DUS next to
+            # this kernel would copy the cache per layer — the
+            # ops.stack_kernel pitfall)
+            cap_ = cache_out_ref.shape[1]
+            row8 = (jnp.minimum(seq, cap_ - 8) // 8) * 8
+            off = seq - row8
+            sl = cache_out_ref.at[s_ref[1], pl.ds(row8, 8)]
+            d_in = pltpu.make_async_copy(sl, row_s, row_sem)
+            d_in.start()
+            d_in.wait()
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, lora + rope), 0)
+            row_s[...] = jnp.where(sub == off,
+                                   cur_s[0:1, :].astype(row_s.dtype),
+                                   row_s[...])
+            d_out = pltpu.make_async_copy(row_s, sl, row_sem)
+            d_out.start()
+            d_out.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -198,7 +223,8 @@ def deepseek_decoder_layer(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps", "kernel_config"))
+    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps", "kernel_config",
+    "softmax_scale"))
 def deepseek_decoder_layer_fused(
     input: jnp.ndarray,          # [1, hidden]
     wproj: jnp.ndarray,          # [hidden, h·nope + h·rope + lora + rope]
@@ -217,6 +243,7 @@ def deepseek_decoder_layer_fused(
     lora_rank: int = 512,
     eps: float = 1e-6,
     kernel_config: KernelConfig = None,
+    softmax_scale: float = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Model-path variant: weights arrive pre-fused (no per-call concat /
     transpose of ~15 MB of projections), the cache is a fixed *capacity*
@@ -246,13 +273,13 @@ def deepseek_decoder_layer_fused(
             pl.BlockSpec((1, lora), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rope), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rope), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, n_proj), lambda c, s: (0, 0),
+            pl.BlockSpec((1, hidden, n_proj), lambda c, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, nope, lora), lambda c, s: (0, 0, 0),
+            pl.BlockSpec((1, h, nope, lora), lambda c, s: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, lora, nope), lambda c, s: (0, 0, 0),
+            pl.BlockSpec((1, h, lora, nope), lambda c, s: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h * nope, hidden), lambda c, s: (0, 0),
+            pl.BlockSpec((1, h * nope, hidden), lambda c, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, chunk, mla),
@@ -274,9 +301,11 @@ def deepseek_decoder_layer_fused(
         ],
     )
 
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(nope + rope)
     kernel = functools.partial(
         _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
-        kv_chunk=chunk, eps=eps)
+        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale)
 
     out, ckv_new = pl.pallas_call(
         kernel,
@@ -293,8 +322,136 @@ def deepseek_decoder_layer_fused(
             bytes_accessed=(wproj.size + wo.size + ckv_cache.size) * dt.itemsize,
             transcendentals=h * seq),
         interpret=interpret_mode(),
-    )(jnp.asarray(seq_len, jnp.int32).reshape(1), input,
+    )(jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
+                 jnp.asarray(0, jnp.int32)]), input,
       rms_input_weight[None, :],
       rms_ckv_weight[None, :], cos_f, sin_f,
-      wproj, weight_uk, weight_uv, wo, ckv_cache[None])
+      wproj[None], weight_uk[None], weight_uv[None], wo[None],
+      ckv_cache[None])
     return out, ckv_new.reshape(1, mla)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_heads", "nope_dim", "rope_dim", "lora_rank", "eps", "kernel_config",
+    "softmax_scale"))
+def deepseek_decoder_stack_layer(
+    input: jnp.ndarray,          # [1, hidden]
+    wproj_s: jnp.ndarray,        # [L, hidden, n_proj]
+    wuk_s: jnp.ndarray,          # [L, heads, nope, lora]
+    wuv_s: jnp.ndarray,          # [L, heads, lora, nope]
+    wo_s: jnp.ndarray,           # [L, heads*nope, hidden]
+    ckv_cache: jnp.ndarray,      # [L, capacity, lora + rope]
+    seq_len,                     # [] int32 dynamic
+    layer_id,                    # [] int32 dynamic
+    rms_in_s: jnp.ndarray,       # [L, hidden]
+    rms_ckv_s: jnp.ndarray,      # [L, lora]
+    cos: jnp.ndarray,            # [rope/2]
+    sin: jnp.ndarray,
+    n_heads: int = 16,
+    nope_dim: int = 128,
+    rope_dim: int = 64,
+    lora_rank: int = 512,
+    eps: float = 1e-6,
+    kernel_config: KernelConfig = None,
+    softmax_scale: float = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer-stacked MLA op for the model's decode scan: the WHOLE weight
+    stacks and the [L, cap, mla] cache enter as operands and the layer is
+    picked by a prefetched scalar in the BlockSpec index maps — scanning
+    per-layer slices through pallas operands would copy every layer's
+    weights (and the cache slice) per call (the ops.stack_kernel pitfall).
+    The new compressed row is appended IN-KERNEL through the aliased cache
+    output (donate the cache under jit).  Returns (out [1, hidden],
+    ckv_cache')."""
+    kcfg = kernel_config or KernelConfig()
+    hidden = input.shape[-1]
+    h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
+    mla = lora + rope
+    L, cap = ckv_cache.shape[0], ckv_cache.shape[1]
+    assert cap % 8 == 0, cap
+    dt = input.dtype
+    n_proj = wproj_s.shape[-1]
+
+    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    n_chunks = max(cdiv(cap, chunk), 1)
+    cos_f = jnp.concatenate([cos, cos])[None, :].astype(jnp.float32)
+    sin_f = jnp.concatenate([sin, sin])[None, :].astype(jnp.float32)
+
+    def lmap(*trail):
+        return lambda c, s: (s[1],) + trail
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks + 1,),
+        in_specs=[
+            pl.BlockSpec((1, hidden), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lmap(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lora), lmap(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rope), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rope), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden, n_proj), lmap(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, nope, lora), lmap(0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lora, nope), lmap(0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * nope, hidden), lmap(0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, chunk, mla),
+                lambda c, s: (s[1], jnp.minimum(
+                    jnp.maximum(c - 1, 0),
+                    jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hidden), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mla), lambda c, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # aliased cache
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, mla), jnp.float32),
+            pltpu.VMEM((h, lora), jnp.float32),
+            pltpu.VMEM((2, h), jnp.float32),
+            pltpu.VMEM((1, mla), jnp.float32),
+            pltpu.VMEM((8, mla), ckv_cache.dtype),    # append RMW tile
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(nope + rope)
+    kernel = functools.partial(
+        _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
+        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale, append=True)
+
+    seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
+                         jnp.asarray(layer_id, jnp.int32).reshape(())])
+    out, ckv_new, cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, hidden), dt),
+            jax.ShapeDtypeStruct((1, 1, mla), dt),
+            jax.ShapeDtypeStruct(ckv_cache.shape, ckv_cache.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=kcfg.vmem_limit_bytes),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hidden * n_proj + 2 * h * cap * mla * 2
+            + 2 * h * nope * (lora + hidden),
+            bytes_accessed=(wproj_s.size // L + wo_s.size // L
+                            + cap * mla) * dt.itemsize,
+            transcendentals=h * cap),
+        # alias: operand index counts the scalar-prefetch arg (0) + 10
+        # tensor inputs; the cache is the last input -> index 10
+        input_output_aliases={10: 2},
+        interpret=interpret_mode(),
+    )(seq_arr, input, rms_in_s, rms_ckv_s, cos_f, sin_f,
+      wproj_s, wuk_s, wuv_s, wo_s, ckv_cache)
+    return out, cache

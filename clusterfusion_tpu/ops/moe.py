@@ -27,15 +27,30 @@ import jax
 import jax.numpy as jnp
 
 
-def route_top_k(x, router_w, top_k: int):
-    """x [T, h], router_w [h, E] → (weights [T, E] with exactly top_k
-    nonzero per row, renormalized to sum 1).  f32 throughout."""
+def route_top_k(x, router_w, top_k: int, *, norm_topk_prob: bool = True,
+                routed_scaling_factor: float = 1.0):
+    """x [T, h], router_w [h, E] → (gates [T, E] with EXACTLY top_k
+    nonzero per row, sel [T, top_k] expert indices).  f32 throughout.
+
+    One ``top_k`` call ranks and selects (a threshold-mask formulation
+    picks extra experts on tied probabilities and diverges between the
+    dense and gathered formulations).  ``norm_topk_prob=True`` renormalizes
+    the selected gates to sum 1 (DeepSeek-V3 convention);
+    ``False`` keeps raw softmax probs scaled by ``routed_scaling_factor``
+    (DeepSeek-V2/V2-Lite convention: their configs set
+    norm_topk_prob=false, routed_scaling_factor 16.0 / 1.0)."""
     logits = jnp.einsum("th,he->te", x.astype(jnp.float32),
                         router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
-    kth = jax.lax.top_k(probs, top_k)[0][..., -1:]         # [T, 1]
-    w = jnp.where(probs >= kth, probs, 0.0)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    vals, sel = jax.lax.top_k(probs, top_k)                # [T, k] each
+    if norm_topk_prob:
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    else:
+        vals = vals * routed_scaling_factor
+    E = probs.shape[-1]
+    onehot = jax.nn.one_hot(sel, E, dtype=jnp.float32)     # [T, k, E]
+    gates = jnp.einsum("tk,tke->te", vals, onehot)
+    return gates, sel
 
 
 def _swiglu(x, w13, w2):
@@ -45,14 +60,17 @@ def _swiglu(x, w13, w2):
     return jnp.dot(act, w2, preferred_element_type=jnp.float32)
 
 
-def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2):
+def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2, *,
+                   norm_topk_prob: bool = True,
+                   routed_scaling_factor: float = 1.0):
     """Gathered-expert MoE for decode.  x [1, h]; w13_all [E, 2, h, f];
     w2_all [E, f, h].  Returns [1, h] in x.dtype."""
-    gates = route_top_k(x, router_w, top_k)                # [1, E]
-    _, idx = jax.lax.top_k(gates, top_k)                   # [1, k]
+    gates, sel = route_top_k(x, router_w, top_k,
+                             norm_topk_prob=norm_topk_prob,
+                             routed_scaling_factor=routed_scaling_factor)
     out = jnp.zeros((1, x.shape[-1]), jnp.float32)
     for i in range(top_k):
-        e = idx[0, i]
+        e = sel[0, i]
         w13 = jax.lax.dynamic_index_in_dim(w13_all, e, 0, keepdims=False)
         w2 = jax.lax.dynamic_index_in_dim(w2_all, e, 0, keepdims=False)
         out = out + gates[0, e] * _swiglu(x, w13.astype(x.dtype),
@@ -60,11 +78,15 @@ def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2):
     return out.astype(x.dtype)
 
 
-def moe_ffn_dense(x, router_w, w13_all, w2_all, top_k: int = 2):
+def moe_ffn_dense(x, router_w, w13_all, w2_all, top_k: int = 2, *,
+                  norm_topk_prob: bool = True,
+                  routed_scaling_factor: float = 1.0):
     """Masked-dense MoE: every expert runs on every token (shardable over
     the expert axis; the cross-expert sum commutes with ``psum``).
     x [T, h] → [T, h]."""
-    gates = route_top_k(x, router_w, top_k)                # [T, E]
+    gates, _ = route_top_k(x, router_w, top_k,
+                           norm_topk_prob=norm_topk_prob,
+                           routed_scaling_factor=routed_scaling_factor)
     def body(acc, ew):
         w13, w2, g = ew                                    # g [T]
         y = _swiglu(x, w13.astype(x.dtype), w2.astype(x.dtype))   # [T, h]

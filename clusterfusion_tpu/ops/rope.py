@@ -101,3 +101,54 @@ def apply_rope_gptj(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.n
     swapped = jnp.stack([xp[..., 1], xp[..., 0]], axis=-1).reshape(x.shape)
     alt_sign = jnp.tile(jnp.asarray([-1.0, 1.0], dtype=x.dtype), d // 2)
     return x * cos + swapped * alt_sign * sin
+
+
+def rope_tables_yarn(head_dim: int, max_pos: int, theta: float, *,
+                     factor: float, orig_max: int, beta_fast: float = 32.0,
+                     beta_slow: float = 1.0, mscale: float = 1.0,
+                     mscale_all_dim: float = 0.0):
+    """YaRN-scaled NEOX (cos, sin) tables [max_pos, head_dim/2], following
+    the DeepSeek-V2 HF implementation (`DeepseekV2YarnRotaryEmbedding`):
+    interpolated frequencies below the ``beta_fast`` correction dim, the
+    original frequencies above ``beta_slow``, a linear ramp between, and
+    the cos/sin magnitude scaled by get_mscale(factor, mscale) /
+    get_mscale(factor, mscale_all_dim) (== 1 when the two mscales match,
+    as in the shipped V2/V2-Lite configs — the attention-entropy
+    correction then lives entirely in the softmax scale; see
+    ``yarn_softmax_scale_mult``)."""
+    import math
+
+    half = head_dim // 2
+    i = jnp.arange(half, dtype=jnp.float32)
+    freq_extra = 1.0 / (theta ** (2.0 * i / head_dim))
+    freq_inter = freq_extra / factor
+
+    def corr_dim(n_rot):
+        return (head_dim * math.log(orig_max / (n_rot * 2 * math.pi))
+                / (2 * math.log(theta)))
+
+    low = max(math.floor(corr_dim(beta_fast)), 0)
+    high = min(math.ceil(corr_dim(beta_slow)), half - 1)
+    ramp = jnp.clip((i - low) / max(high - low, 1), 0.0, 1.0)
+    extrapolation_mask = 1.0 - ramp                       # 1 → original freq
+    inv_freq = (freq_inter * ramp + freq_extra * extrapolation_mask)
+
+    a = jnp.arange(max_pos, dtype=jnp.float32)[:, None] * inv_freq[None, :]
+    m = (_yarn_get_mscale(factor, mscale)
+         / _yarn_get_mscale(factor, mscale_all_dim))
+    return jnp.cos(a) * m, jnp.sin(a) * m
+
+
+def _yarn_get_mscale(scale: float, mscale: float) -> float:
+    import math
+    if scale <= 1.0 or mscale <= 0.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def yarn_softmax_scale_mult(factor: float, mscale_all_dim: float) -> float:
+    """Multiplier on the attention softmax scale under YaRN: the HF
+    DeepSeek-V2 attention multiplies ``head_dim**-0.5`` by
+    ``get_mscale(factor, mscale_all_dim)**2``."""
+    m = _yarn_get_mscale(factor, mscale_all_dim)
+    return m * m

@@ -208,7 +208,7 @@ class ServingEngine:
                  eos_id: Optional[int] = None,
                  kv_dtype=jnp.bfloat16, seed: int = 0,
                  prefill_chunk: Optional[int] = 1024,
-                 step_impl: str = "batched"):
+                 step_impl: Optional[str] = None):
         if max_pages_per_req is None:
             max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
         self.params = params
@@ -230,7 +230,16 @@ class ServingEngine:
         self._reqs: Dict[int, _Req] = {}
         self._key = jax.random.PRNGKey(seed)
         # "batched": weights stream once per step at M=B (the B>=4
-        # design point); "fused": the per-layer megakernel (B=1 parity)
+        # design point); "fused": the per-layer megakernel (B=1 parity).
+        # Default: batched, EXCEPT for int4 params — the batched step's
+        # XLA matmuls cannot commute int4 group scales with the dot, so
+        # they would materialize full bf16 weight copies per layer; the
+        # fused megakernel dequantizes int4 in-kernel.
+        if step_impl is None:
+            from clusterfusion_tpu.ops.quant import QuantizedTensor as _QT
+            w = params["layers"]["wqkv_f"]
+            step_impl = ("fused" if isinstance(w, _QT) and w.kind == "int4"
+                         else "batched")
         assert step_impl in ("batched", "fused")
         impl = (_paged_decode_step_batched if step_impl == "batched"
                 else _paged_decode_step)

@@ -104,3 +104,50 @@ def test_rope_deinterleave_fold():
     out = _deinterleave_rope_rows(w)
     np.testing.assert_array_equal(out[:4], w[0::2])
     np.testing.assert_array_equal(out[4:], w[1::2])
+
+
+def test_yarn_and_gating_config_parsed(tmp_path):
+    """rope_scaling + V2 gating fields land in the config and change the
+    model's rope tables / softmax scale."""
+    import math
+    d = str(tmp_path)
+    _fake_ckpt(d)
+    with open(os.path.join(d, "config.json")) as f:
+        hc = json.load(f)
+    hc["rope_scaling"] = {"type": "yarn", "factor": 40.0,
+                          "original_max_position_embeddings": 4096,
+                          "beta_fast": 32, "beta_slow": 1,
+                          "mscale": 0.707, "mscale_all_dim": 0.707}
+    hc["routed_scaling_factor"] = 16.0
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(hc, f)
+    params, cfg = load_deepseek_hf(d, max_seq_len=64)
+    assert cfg.yarn_factor == 40.0 and cfg.yarn_mscale_all_dim == 0.707
+    assert not cfg.moe_norm_topk_prob and cfg.moe_routed_scaling == 16.0
+    # softmax scale carries the mscale^2 correction (~1.59x)
+    base = 1.0 / math.sqrt(cfg.head_dim)
+    assert 1.5 < cfg.softmax_scale / base < 1.7
+    # fused decode still matches the eager oracle under yarn
+    cache = model.init_cache(cfg)
+    logits, cache = model.prefill(params, cache,
+                                  jnp.asarray([1, 2], jnp.int32), cfg)
+    tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+    lf, _ = model.decode_step(params, cache, tok, jnp.asarray(2, jnp.int32),
+                              cfg, fused=True)
+    le, _ = model.decode_step(params, cache, tok, jnp.asarray(2, jnp.int32),
+                              cfg, fused=False)
+    scale = max(float(jnp.max(jnp.abs(le))), 1.0)
+    assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale
+
+
+def test_q_lora_rejected(tmp_path):
+    import pytest as _pytest
+    d = str(tmp_path)
+    _fake_ckpt(d)
+    with open(os.path.join(d, "config.json")) as f:
+        hc = json.load(f)
+    hc["q_lora_rank"] = 1536
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(hc, f)
+    with _pytest.raises(NotImplementedError):
+        load_deepseek_hf(d)

@@ -28,11 +28,12 @@ def test_router_top_k():
     router_w, _, _ = _weights(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (5, H), jnp.bfloat16)
     for k in (1, 2, 4):
-        g = route_top_k(x, router_w, k)
+        g, sel = route_top_k(x, router_w, k)
         nz = np.count_nonzero(np.asarray(g), axis=-1)
         np.testing.assert_array_equal(nz, k)
         np.testing.assert_allclose(np.asarray(jnp.sum(g, -1)), 1.0,
                                    rtol=1e-5)
+        assert sel.shape == (5, k)
 
 
 @pytest.mark.parametrize("top_k", [1, 2])

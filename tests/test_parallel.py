@@ -156,7 +156,7 @@ mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("ep",))
 
 def local(x, router_w, w13_l, w2_l, e0):
     # full router on every chip; each chip applies only its local experts
-    gates = route_top_k(x, router_w, K)          # [T, E] (global)
+    gates, _ = route_top_k(x, router_w, K)       # [T, E] (global)
     El = w13_l.shape[0]
     g_l = jax.lax.dynamic_slice(gates, (0, e0[0]), (x.shape[0], El))
     def body(acc, ew):
