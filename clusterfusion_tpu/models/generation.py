@@ -61,8 +61,16 @@ class Llama:
         if kcfg is None:
             if autotune:
                 from clusterfusion_tpu.tune import tune_decoder_layer
-                kcfg = tune_decoder_layer(cfg, cfg.max_seq_len,
-                                          verbose=False)
+                # the fused layout already fixes the head grouping
+                # (fused_decoder_stack derives G from wqkv_f.shape), so only
+                # kv_chunk is tunable here — sweeping hg would time layouts
+                # this engine cannot run (ADVICE.md round 1)
+                w = params["layers"]["wqkv_f"]
+                from clusterfusion_tpu.ops.quant import QuantizedTensor
+                G = (w.q if isinstance(w, QuantizedTensor) else w).shape[1]
+                kcfg = tune_decoder_layer(
+                    cfg, cfg.max_seq_len, verbose=False,
+                    fixed_head_group=cfg.kv_heads // G)
             else:
                 kcfg = KernelConfig()
         self.params = params

@@ -30,8 +30,9 @@ Two interchangeable backends:
   can be overlapped with compute.  Executes compiled on multi-chip TPU and
   under the Pallas TPU *interpret simulation* everywhere else (remote DMAs
   + semaphores are simulated with device threads), so it is numerically
-  tested on the virtual CPU mesh.  ``backend="auto"`` picks pallas on
-  multi-chip TPU, XLA otherwise.
+  tested on the virtual CPU mesh.  Explicitly opt-in (``backend="auto"``
+  resolves to XLA until the rings have run compiled on real multi-chip
+  hardware).
 
 Both are bit-compatible reductions (deterministic hop order, fp32
 accumulation).
@@ -64,17 +65,14 @@ class Stage(enum.Enum):
     QUK_DEEPSEEK = "quk_deepseek"   # all-gather (dsm.cuh:31-79)
 
 
-def _is_multichip_tpu() -> bool:
-    try:
-        devs = jax.devices()
-    except RuntimeError:  # pragma: no cover
-        return False
-    return devs[0].platform == "tpu" and len(devs) > 1
-
-
 def _resolve_backend(backend: str) -> str:
+    # "auto" resolves to XLA everywhere: the pallas rings are numerically
+    # validated (race-detector-clean) only under the interpret simulation —
+    # until they have run COMPILED on real multi-chip hardware they stay
+    # explicitly opt-in (backend="pallas"), so production decode never rides
+    # an untested-in-prod hot path (VERDICT.md round 1, weak #5).
     if backend == "auto":
-        return "pallas" if _is_multichip_tpu() else "xla"
+        return "xla"
     return backend
 
 

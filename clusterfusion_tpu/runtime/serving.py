@@ -259,25 +259,36 @@ class ServingEngine:
         self.sched.add(req_id, len(prompt))
 
     def _prefill_into_pool(self, req: _Req) -> None:
-        """Eager prefill of the prompt, pages scattered into the pool, and
-        the first generated token sampled from the prompt logits.
+        """Eager prefill of the request's cached tokens, pages scattered into
+        the pool, and — for a first admission — the first generated token
+        sampled from the prompt logits.
 
-        The prompt is zero-padded to a power-of-two page count so prefill
-        compiles per BUCKET, not per prompt length (causality makes the
+        On RE-admission after a recompute preemption (``req.generated``
+        non-empty), the scheduler freed the pages but kept ``len`` = cached
+        tokens = prompt + generated[:-1] (the last generated token is
+        ``cur_token``, not yet fed through the model).  Those tokens are
+        re-prefilled verbatim and decode resumes at ``cur_token`` — no new
+        token is sampled, matching the vLLM-style recompute policy
+        (native/kv_runtime.cpp prepare_batch step 1).
+
+        The token run is zero-padded to a power-of-two page count so prefill
+        compiles per BUCKET, not per token-run length (causality makes the
         padding inert: logits at T-1 and KV rows < T are unaffected, and
         rows >= T are masked by seq_len everywhere downstream).
 
-        Prompts longer than ``prefill_chunk`` run as fixed-size chunks of
-        the flash kernel (``model.prefill_chunk``): compile variants stay
+        Runs longer than ``prefill_chunk`` go as fixed-size chunks of the
+        flash kernel (``model.prefill_chunk``): compile variants stay
         bounded by max_seq/chunk instead of one per bucket, and activation
         memory is O(chunk), not O(prompt)."""
         cfg, page = self.cfg, self.page_size
-        T = len(req.prompt)
+        readmit = bool(req.generated)
+        cached = req.prompt + (req.generated[:-1] if readmit else [])
+        T = len(cached)
         n_bucket = 1
         while n_bucket * page < T:
             n_bucket *= 2
         cap = n_bucket * page
-        prompt_pad = req.prompt + [0] * (cap - T)
+        prompt_pad = cached + [0] * (cap - T)
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
                        self.k_pool.dtype)
         vc = jnp.zeros_like(kc)
@@ -307,6 +318,11 @@ class ServingEngine:
             k_pages.astype(self.k_pool.dtype))
         self.v_pool = self.v_pool.at[:, pages_j].set(
             v_pages.astype(self.v_pool.dtype))
+        if readmit:
+            # resume mid-generation: the next step feeds the last generated
+            # token; sampling again would duplicate a token in the output
+            req.cur_token = req.generated[-1]
+            return
         self._key, sub = jax.random.split(self._key)
         tok = int(sample(sub, last_logits, req.temperature, req.top_p))
         req.cur_token = tok

@@ -72,11 +72,18 @@ def _store_cache(cache: Dict[str, dict]) -> None:
     os.replace(tmp, path)
 
 
-def candidate_space(cfg: LlamaConfig, seq: int):
+def candidate_space(cfg: LlamaConfig, seq: int,
+                    fixed_head_group: Optional[int] = None):
     """(kv_chunk, head_group) grid — the TPU analogues of TMA_LOAD_ONCE and
     CLUSTER_SIZE.  kv_chunk trades VMEM residency against grid-step count;
     head_group widens the projection dots (N = hg·(g+2)·hd must stay MXU-
-    efficient) against weight-tile VMEM."""
+    efficient) against weight-tile VMEM.
+
+    ``fixed_head_group`` pins the hg axis: the fused weight layout bakes the
+    head grouping in at load/init time (``fused_decoder_stack`` derives G
+    from ``wqkv_f.shape``), so when tuning for an engine whose params
+    already exist, only kv_chunk is actionable — sweeping other hg values
+    would spend minutes-long compiles timing layouts the engine cannot use."""
     kv = cfg.kv_heads
     if cfg.hidden_dim >= 4096:
         # big models: each stack-kernel compile is expensive (minutes via a
@@ -86,6 +93,8 @@ def candidate_space(cfg: LlamaConfig, seq: int):
     else:
         chunks = [c for c in (128, 256, 512, 1024) if c <= max(seq, 128)]
         hgs = [h for h in (1, 2, 4, 8, 16) if h <= kv and kv % h == 0]
+    if fixed_head_group is not None:
+        hgs = [fixed_head_group]
     return [(c, h) for c, h in itertools.product(chunks, hgs)]
 
 
@@ -150,18 +159,23 @@ def _time_layer_config(cfg: LlamaConfig, seq: int, kcfg: KernelConfig,
 
 def tune_decoder_layer(cfg: LlamaConfig, seq: int = 1024,
                        reps: int = 128, verbose: bool = True,
-                       use_cache: bool = True) -> KernelConfig:
+                       use_cache: bool = True,
+                       fixed_head_group: Optional[int] = None) -> KernelConfig:
     """Sweep the candidate space, return (and persist) the fastest
-    ``KernelConfig`` for this geometry on this device."""
+    ``KernelConfig`` for this geometry on this device.  Pass
+    ``fixed_head_group`` when the params' fused layout already exists (see
+    ``candidate_space``)."""
     cache = _load_cache()
     key = _key(cfg, seq)
+    if fixed_head_group is not None:
+        key += f"|hg{fixed_head_group}"
     if use_cache and key in cache:
         best = cache[key]
         return KernelConfig(kv_chunk=best["kv_chunk"],
                             head_group=best["head_group"])
 
     results = []
-    for chunk, hg in candidate_space(cfg, seq):
+    for chunk, hg in candidate_space(cfg, seq, fixed_head_group):
         kcfg = KernelConfig(kv_chunk=chunk, head_group=hg)
         try:
             us = _time_layer_config(cfg, seq, kcfg, reps)

@@ -202,6 +202,43 @@ def test_serving_engine_int8_quantized():
     assert out == solo, (out, solo)
 
 
+def test_serving_engine_recompute_preemption():
+    """A request preempted mid-generation under pool pressure (pages freed,
+    recompute policy) must resume EXACTLY: its KV re-prefilled from
+    prompt + generated[:-1] and no duplicate token sampled.  Regression for
+    the round-1 bug where re-admission re-prefilled only the prompt (stale
+    zero KV rows) and re-sampled an extra token (ADVICE.md, high)."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = model.init_params(CFG, jax.random.PRNGKey(7))
+    # 3 usable pages of 8 tokens: two 3-token prompts fit, but crossing the
+    # first page boundary (len 8 -> 2 pages each) exhausts the pool and
+    # forces a recompute preemption of the newer request
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=4, max_batch=4,
+                        max_pages_per_req=3)
+
+    # record re-admissions (fresh rows whose request already generated)
+    readmitted = []
+    orig_prepare = eng.sched.prepare_batch
+
+    def spy(max_batch):
+        ids, table, lens, poss, fresh = orig_prepare(max_batch)
+        for b in range(len(ids)):
+            if fresh[b] and eng._reqs[int(ids[b])].generated:
+                readmitted.append(int(ids[b]))
+        return ids, table, lens, poss, fresh
+
+    eng.sched.prepare_batch = spy
+    prompts = {0: [1, 2, 3], 1: [4, 5, 6]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=10, temperature=0.0)
+    out = eng.run()
+    assert readmitted, "pool geometry no longer forces a preemption"
+    for rid, p in prompts.items():
+        want = _reference_greedy(params, p, 10)
+        assert out[rid] == want, (rid, out[rid], want)
+
+
 def test_serving_engine_cancel_and_stats():
     from clusterfusion_tpu.runtime.serving import ServingEngine
 
