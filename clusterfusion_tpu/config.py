@@ -185,31 +185,60 @@ class KernelConfig:
     head_group: int = 8
     # Output-column tile for streamed weight matmuls.
     weight_tile: int = 512
+    # INT4 fast path: quantize the activation to int8 per row and run the
+    # dot on int8 MXU lanes per scale group (W4A8) instead of dequantizing
+    # the [K, N] tile to bf16 on the VPU (measured 2× on the dequant+dot;
+    # rel-err ~0.9 % per matmul).  False = exact W4A16 tile dequant.
+    int4_w4a8: bool = True
     # Upper bound on VMEM the compiler may use for one kernel (bytes).
     vmem_limit_bytes: int = 100 * 1024 * 1024
 
     def key(self) -> Tuple:
-        return (self.kv_chunk, self.head_group, self.weight_tile)
+        return (self.kv_chunk, self.head_group, self.weight_tile,
+                self.int4_w4a8)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh shape for multi-chip execution.
+    """Device-mesh shape for multi-chip / multi-host execution.
 
-    Axes: dp (data/batch), tp (tensor: heads + hidden), sp (sequence/KV).
-    The reference's only cross-device parallelism is fairscale TP on the
-    *unfused* path (`chat/llama/generation.py:86-89`); here sharding is
-    first-class for both paths.
+    Axes (outermost first):
+
+    - ``dcn``: the cross-host axis (Data Center Network).  Collectives over
+      dcn ride the slow host interconnect, so only *data parallelism* maps
+      onto it: batch rows for training, whole requests for serving.  Weights
+      are replicated over dcn; tp/sp collectives never cross it.
+    - ``dp``: intra-slice data parallelism (batch).
+    - ``tp``: tensor parallelism (attention heads + ffn columns) — ICI only.
+    - ``sp``: sequence parallelism (training activations + decode KV) — ICI.
+
+    The reference's only cross-device parallelism is fairscale TP over NCCL
+    on the *unfused* path (`chat/llama/generation.py:86-89`); its NCCL
+    process scope is what dcn replaces at multi-host scale.
     """
 
     dp: int = 1
     tp: int = 1
     sp: int = 1
+    dcn: int = 1
 
     @property
     def shape(self):
-        return {"dp": self.dp, "tp": self.tp, "sp": self.sp}
+        return {"dcn": self.dcn, "dp": self.dp, "tp": self.tp, "sp": self.sp}
 
     @property
     def n_devices(self) -> int:
-        return self.dp * self.tp * self.sp
+        return self.dcn * self.dp * self.tp * self.sp
+
+    # ---- north-star multi-host serving topologies (BASELINE configs[4]:
+    # "Llama-2-13B/70B tensor-sharded across v5e-16 (2 hosts), continuous
+    # batching").  tp=8 stays inside one host's ICI; requests are
+    # data-parallel across hosts over dcn.  tp=8 divides 13B's 40 heads
+    # (MHA) and 70B's 8 kv-heads (GQA) — see parallel.sharding.
+    @staticmethod
+    def v5e16_2host() -> "MeshConfig":
+        return MeshConfig(dcn=2, tp=8)
+
+    @staticmethod
+    def v5e32_4host() -> "MeshConfig":
+        return MeshConfig(dcn=4, tp=8)

@@ -82,6 +82,22 @@ def _dequant_int4_tile(w_ref_val, s_val, gs: int):
     return w * s
 
 
+def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool, unpack_axis: int = 0):
+    """INT4 fused-dequant matmul for the megakernels: W4A8 int8-MXU fast
+    path (``KernelConfig.int4_w4a8``, default) or the exact bf16 tile
+    dequant.  ``x`` is [M, K] bf16; returns f32 [M, N]."""
+    if w4a8:
+        from clusterfusion_tpu.ops.quant import w4a8_int4_dot
+        return w4a8_int4_dot(x, w_val, s_val.astype(jnp.float32), gs,
+                             unpack_axis=unpack_axis)
+    if unpack_axis == 0:
+        wb = _dequant_int4_tile(w_val, s_val, gs)
+    else:
+        wb = unpack_int4(w_val, unpack_axis).astype(jnp.bfloat16) \
+            * expand_group_scales(s_val.astype(jnp.bfloat16), 0, gs)
+    return jnp.dot(x, wb, preferred_element_type=jnp.float32)
+
+
 def _rope_vec(x, cos_f, sin_f, style: str):
     """Vectorized RoPE on [rows, d] with full-dim cos/sin [1, d].
 
@@ -121,6 +137,7 @@ def _decoder_layer_kernel(
     eps: float,
     wq_kind: str,     # "none" | "int8" | "int4" (weight-only quantization)
     gs_q: int,        # int4 group size along the reduction axis
+    w4a8: bool = True,  # int4 fast path: int8-quantized activation + MXU dot
     emit_partials: bool = False,  # emit (acc, m, l) pre-O-proj for cross-
                                   # chip sequence-parallel softmax merge
     append_kv: bool = False,      # write the new token's K/V into the cache
@@ -175,8 +192,7 @@ def _decoder_layer_kernel(
             qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
                           preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:  # int4
-            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
-            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+            qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q, w4a8)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -313,8 +329,8 @@ def _decoder_layer_kernel(
             out_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
                                   preferred_element_type=f32) * _m2(wo_s_ref)
         else:  # int4
-            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
-            out_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+            out_s[...] += _int4_dot(o_flat, _m2(wo_ref), _m2(wo_s_ref),
+                                    gs_q, w4a8)
 
         @pl.when(hg_id == pl.num_programs(0) - 1)
         def _():
@@ -493,8 +509,8 @@ def _fused_decoder_layer(
         _decoder_layer_kernel,
         hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
-        wq_kind=wq_kind, gs_q=gs_q, emit_partials=emit_partials,
-        append_kv=append_kv,
+        wq_kind=wq_kind, gs_q=gs_q, w4a8=kcfg.int4_w4a8,
+        emit_partials=emit_partials, append_kv=append_kv,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
-    _dequant_int4_tile, _m2, _rope_vec)
+    _int4_dot, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
 from clusterfusion_tpu.ops.quant import QuantizedTensor
 
@@ -60,7 +60,7 @@ def _stack_kernel(
     *refs,
     hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
     bf: int, nb: int, hidden: int, L: int, nv: int,
-    rope_style: str, eps: float, wq_kind: str, gs_q: int,
+    rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
 ):
     with_lm = nv > 0
     it = iter(refs)
@@ -121,8 +121,7 @@ def _stack_kernel(
             qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
                           preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:
-            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
-            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+            qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q, w4a8)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -227,8 +226,8 @@ def _stack_kernel(
             aout_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
                                    preferred_element_type=f32) * _m2(wo_s_ref)
         else:
-            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
-            aout_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+            aout_s[...] += _int4_dot(o_flat, _m2(wo_ref), _m2(wo_s_ref),
+                                     gs_q, w4a8)
 
     # ---- FFN phases ------------------------------------------------------------
     in_ffn = jnp.logical_and(t >= TA, t < T)
@@ -254,15 +253,9 @@ def _stack_kernel(
             y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
                           preferred_element_type=f32) * s[1]
         else:
-            from clusterfusion_tpu.ops.quant import (expand_group_scales,
-                                                     unpack_int4)
-            sb = _r3(w13_s_ref).astype(jnp.bfloat16)
-            wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
-                * expand_group_scales(sb[0], 0, gs_q)
-            wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
-                * expand_group_scales(sb[1], 0, gs_q)
-            y_g = jnp.dot(xn, wg, preferred_element_type=f32)
-            y_u = jnp.dot(xn, wu, preferred_element_type=f32)
+            sb = _r3(w13_s_ref)
+            y_g = _int4_dot(xn, w[0], sb[0], gs_q, w4a8)
+            y_u = _int4_dot(xn, w[1], sb[1], gs_q, w4a8)
         act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
         if wq_kind == "none":
             ffn_s[...] += jnp.dot(act, _m2(w2_ref),
@@ -271,12 +264,8 @@ def _stack_kernel(
             ffn_s[...] += jnp.dot(act, _m2(w2_ref).astype(jnp.bfloat16),
                                   preferred_element_type=f32)
         else:
-            from clusterfusion_tpu.ops.quant import (expand_group_scales,
-                                                     unpack_int4)
-            w2v = unpack_int4(_m2(w2_ref), 1).astype(jnp.bfloat16) \
-                * expand_group_scales(_m2(w2_s_ref).astype(jnp.bfloat16),
-                                      0, gs_q)
-            ffn_s[...] += jnp.dot(act, w2v, preferred_element_type=f32)
+            ffn_s[...] += _int4_dot(act, _m2(w2_ref), _m2(w2_s_ref),
+                                    gs_q, w4a8, unpack_axis=1)
 
     # ---- layer exit ------------------------------------------------------------
     @pl.when(t == T - 1)
@@ -522,7 +511,8 @@ def fused_decoder_stack(
     kernel = functools.partial(
         _stack_kernel, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
-        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
+        w4a8=kcfg.int4_w4a8)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

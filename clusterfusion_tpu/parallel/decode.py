@@ -123,8 +123,16 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
 
     ``step(params, k_pool, v_pool, tokens, positions, table, seq_lens)
     -> (logits [B, vocab], k_pool', v_pool')``.  Pools are sharded
-    ``P(None, None, "tp")`` (kv-heads axis); batch is replicated.
-    bf16 params only (quantized sharding: use the single-chip engine)."""
+    ``P(None, "dcn", "tp")`` (pages over hosts, kv-heads over tp).
+    bf16 params only (quantized sharding: use the single-chip engine).
+
+    Multi-host (north-star configs[4]): the batch axis (tokens, positions,
+    block table, seq_lens) and the page pool are sharded over ``dcn`` — each
+    host runs continuous batching on its own requests with its own page
+    pool, weights replicated per host and tp-sharded inside it.  No
+    collective ever crosses dcn in the decode hot path (the reference's
+    NCCL process scope, `chat/llama/generation.py:84-89`, replaced by
+    data-parallel serving over the host axis)."""
     from clusterfusion_tpu.ops.paged_decoder_layer import paged_attention
 
     tp = mesh.shape["tp"]
@@ -186,12 +194,13 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
                          preferred_element_type=jnp.float32)
         return logits, k_pool, v_pool            # logits vocab-sharded
 
-    pool_spec = P(None, None, "tp")
+    pool_spec = P(None, "dcn", "tp")
+    batch_spec = P("dcn")
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(param_pspecs(cfg, tp), pool_spec, pool_spec,
-                  P(), P(), P(), P()),
-        out_specs=(P(None, "tp"), pool_spec, pool_spec),
+                  batch_spec, batch_spec, batch_spec, batch_spec),
+        out_specs=(P("dcn", "tp"), pool_spec, pool_spec),
         check_rep=False,
     )
     return jax.jit(step)

@@ -209,7 +209,7 @@ toks = jnp.asarray([3, 9], jnp.int32)
 
 # single-device reference via the batched step (greedy: temperature 0)
 key = jax.random.PRNGKey(0)
-nxt_ref, kp_ref, vp_ref = jax.jit(functools.partial(
+nxt_ref, _, kp_ref, vp_ref = jax.jit(functools.partial(
     _paged_decode_step_batched, cfg=cfg, kcfg=KernelConfig()))(
     params, kp, vp, toks, lens, table, lens, key,
     jnp.zeros((B,)), jnp.full((B,), 0.9))
@@ -230,3 +230,66 @@ print("SHARDED_SERVING_OK")
 """
     out = _run_cpu(code)
     assert "SHARDED_SERVING_OK" in out
+
+
+def test_dcn_2host_serving_matches_per_host_reference():
+    """(dcn=2, tp=4) serving step — the north-star 2-host v5e-16 topology
+    modeled on the virtual mesh: requests data-parallel over the host axis,
+    page pools sharded per host, weights tp-sharded inside each host.  Each
+    host's rows must equal running the single-device batched step on that
+    host's pool shard alone (no cross-host interaction in the decode path).
+    """
+    code = """
+import functools
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig, KernelConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import build_mesh, shard_params
+from clusterfusion_tpu.parallel.decode import make_sharded_serving_step
+from clusterfusion_tpu.runtime.serving import _paged_decode_step_batched
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+B, page, W, num_pages, L = 4, 8, 2, 8, cfg.n_layers
+rng = np.random.RandomState(0)
+shape = (L, num_pages, cfg.kv_heads, page, cfg.head_dim_)
+kp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+vp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+# per-host-local page indices (each host's table indexes its own shard)
+table = jnp.asarray(np.arange(B * W).reshape(B, W) % (num_pages // 2),
+                    jnp.int32)
+lens = jnp.asarray([11, 5, 9, 3], jnp.int32)
+toks = jnp.asarray([3, 9, 1, 4], jnp.int32)
+
+# per-host single-device reference: host h = rows [2h,2h+2) on pool half h
+key = jax.random.PRNGKey(0)
+ref_step = jax.jit(functools.partial(
+    _paged_decode_step_batched, cfg=cfg, kcfg=KernelConfig()))
+ref_next = []
+half = num_pages // 2
+for h in range(2):
+    r = slice(2 * h, 2 * h + 2)
+    nxt, _, kp_h, vp_h = ref_step(
+        params, kp[:, h * half:(h + 1) * half], vp[:, h * half:(h + 1) * half],
+        toks[r], lens[r], table[r], lens[r], key,
+        jnp.zeros((2,)), jnp.full((2,), 0.9))
+    ref_next.append(np.asarray(nxt))
+ref_next = np.concatenate(ref_next)
+
+mesh = build_mesh(MeshConfig(dcn=2, tp=4), devices=jax.devices()[:8])
+sp = shard_params(params, cfg, mesh)
+pool_sh = NamedSharding(mesh, P(None, "dcn", "tp"))
+bsh = NamedSharding(mesh, P("dcn"))
+kps = jax.device_put(kp, pool_sh)
+vps = jax.device_put(vp, pool_sh)
+step = make_sharded_serving_step(cfg, mesh)
+logits, kps, vps = step(sp, kps, vps,
+                        jax.device_put(toks, bsh), jax.device_put(lens, bsh),
+                        jax.device_put(table, bsh), jax.device_put(lens, bsh))
+nxt = np.asarray(jnp.argmax(logits, -1).astype(jnp.int32))
+assert list(nxt) == list(ref_next), (nxt, ref_next)
+print("DCN_SERVING_OK")
+"""
+    out = _run_cpu(code)
+    assert "DCN_SERVING_OK" in out
