@@ -190,7 +190,7 @@ def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24) -> float:
         def run(params, kp, vp, toks):
             def body(c, _):
                 t, a, b2 = c
-                nxt, a, b2 = _paged_decode_step_batched(
+                nxt, _, a, b2 = _paged_decode_step_batched(
                     params, a, b2, t, lens, table, lens, key, temps, tops,
                     cfg=cfg, kcfg=KernelConfig())
                 return (nxt, a, b2), ()

@@ -211,48 +211,104 @@ class Llama:
     def generate(self, prompt_tokens: Sequence[Sequence[int]],
                  max_gen_len: int, temperature: float = 0.6,
                  top_p: float = 0.9, seed: int = 0,
-                 echo: bool = False) -> List[List[int]]:
-        """Batch API (`generation.py:129-231`): sequences decoded one at a
-        time through the bs=1 fused path (batched paged decode is the
-        ``llama_decoder_layer_batch_decode_sglang`` op's job)."""
-        out = []
-        for i, toks in enumerate(prompt_tokens):
-            gen = list(self.stream_generate(toks, max_gen_len, temperature,
-                                            top_p, seed + i, echo))
-            out.append(gen)
-        return out
+                 logprobs: bool = False, echo: bool = False,
+                 ) -> Tuple[List[List[int]], Optional[List[List[float]]]]:
+        """Batched generation (`generation.py:129-231` parity): all rows
+        decode together through the continuous-batching engine — one device
+        dispatch per step for the whole batch — with per-row eos stopping
+        and, with ``logprobs=True``, per-token logprobs of every kept token
+        (prompt tokens included under ``echo``, matching the reference's
+        ``-F.cross_entropy`` accounting).
+
+        Differences by design: rows with shorter prompts never see other
+        rows' pad positions (each request owns its pages — no padded
+        lockstep, so no prompt-forcing pass), and sampling consumes the
+        engine's per-step PRNG stream seeded by ``seed`` rather than a
+        global torch generator."""
+        from clusterfusion_tpu.runtime.serving import ServingEngine
+        cfg = self.cfg
+        prompts = [list(t) for t in prompt_tokens]
+        assert prompts and all(prompts), "empty prompt"
+        assert max(len(t) for t in prompts) <= cfg.max_seq_len
+        B = len(prompts)
+        page = 16
+        mb = 4
+        while mb < B:
+            mb *= 2
+        need = sum(-(-min(len(t) + max_gen_len, cfg.max_seq_len) // page)
+                   for t in prompts)
+        eng = ServingEngine(
+            self.params, cfg, page_size=page, num_pages=need + 1,
+            max_batch=mb, kcfg=self.kcfg, eos_id=self.tokenizer.eos_id,
+            kv_dtype=self.kv_dtype, seed=seed,
+            step_impl="fused" if (self.fused and B == 1) else None)
+        t0 = time.perf_counter()
+        for i, toks in enumerate(prompts):
+            eng.submit(i, toks, min(max_gen_len,
+                                    cfg.max_seq_len - len(toks)),
+                       temperature, top_p, logprobs=logprobs)
+        eng.run()
+        out_tokens, out_logprobs = [], []
+        for i, prompt in enumerate(prompts):
+            req = eng.last_results[i]
+            toks = list(req.generated[:max_gen_len])
+            probs = list(req.logprobs[:max_gen_len]) if logprobs else None
+            if echo:
+                toks = prompt + toks
+                if logprobs:
+                    probs = list(req.prompt_logprobs) + probs
+            if self.tokenizer.eos_id in toks:
+                eos_idx = toks.index(self.tokenizer.eos_id)
+                toks = toks[:eos_idx]
+                probs = probs[:eos_idx] if logprobs else None
+            out_tokens.append(toks)
+            out_logprobs.append(probs)
+        self.stats = GenStats(sum(len(p) for p in prompts),
+                              sum(len(r.generated)
+                                  for r in eng.last_results.values()),
+                              time.perf_counter() - t0)
+        return out_tokens, out_logprobs if logprobs else None
 
     # -- prompt APIs ----------------------------------------------------------
 
     def text_completion(self, prompts: List[str], temperature: float = 0.6,
                         top_p: float = 0.9, max_gen_len: Optional[int] = None,
+                        logprobs: bool = False,
                         echo: bool = False) -> List[dict]:
-        """`generation.py:274-323`."""
+        """`generation.py:274-323`: batched completion; with
+        ``logprobs=True`` each prediction carries per-token strings and
+        their logprobs, reference dict layout."""
         if max_gen_len is None:
             max_gen_len = self.cfg.max_seq_len - 1
-        results = []
-        for p in prompts:
-            toks = self.tokenizer.encode(p, bos=True, eos=False)
-            max_len = min(max_gen_len, self.cfg.max_seq_len - len(toks))
-            gen = list(self.stream_generate(toks, max_len, temperature, top_p,
-                                            echo=echo))
-            results.append({"generation": self.tokenizer.decode(gen)})
-        return results
+        prompt_tokens = [self.tokenizer.encode(p, bos=True, eos=False)
+                         for p in prompts]
+        toks, lps = self.generate(prompt_tokens, max_gen_len, temperature,
+                                  top_p, logprobs=logprobs, echo=echo)
+        if logprobs:
+            return [{"generation": self.tokenizer.decode(t),
+                     "tokens": [self.tokenizer.decode([x]) for x in t],
+                     "logprobs": lp}
+                    for t, lp in zip(toks, lps)]
+        return [{"generation": self.tokenizer.decode(t)} for t in toks]
 
     def chat_completion(self, dialogs: List[List[dict]],
                         temperature: float = 0.6, top_p: float = 0.9,
-                        max_gen_len: Optional[int] = None) -> List[dict]:
+                        max_gen_len: Optional[int] = None,
+                        logprobs: bool = False) -> List[dict]:
         """llama-2 [INST] chat templating (`generation.py:325-436`)."""
         if max_gen_len is None:
             max_gen_len = self.cfg.max_seq_len - 1
+        prompt_tokens = [self._encode_dialog(d) for d in dialogs]
+        toks, lps = self.generate(prompt_tokens, max_gen_len, temperature,
+                                  top_p, logprobs=logprobs)
         results = []
-        for dialog in dialogs:
-            toks = self._encode_dialog(dialog)
-            max_len = min(max_gen_len, self.cfg.max_seq_len - len(toks))
-            gen = list(self.stream_generate(toks, max_len, temperature, top_p))
-            results.append({"generation": {
-                "role": "assistant",
-                "content": self.tokenizer.decode(gen)}})
+        for i, t in enumerate(toks):
+            r = {"generation": {"role": "assistant",
+                                "content": self.tokenizer.decode(t)}}
+            if logprobs:
+                r["tokens"] = [self.tokenizer.decode([x]) for x in t]
+                r["logprobs"] = lps[i]
+            results.append(r)
         return results
 
     def _encode_dialog(self, dialog: List[dict]) -> List[int]:

@@ -54,6 +54,12 @@ class _Req:
     cur_token: int = -1            # token to feed at the next step
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    want_logprobs: bool = False
+    # logprob of generated[i] (natural log, reference parity)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    # logprob of prompt[i] given prompt[:i]; index 0 (bos) stays 0.0 like
+    # the reference's untouched token_logprobs[:, 0]
+    prompt_logprobs: List[float] = dataclasses.field(default_factory=list)
 
 
 def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
@@ -102,8 +108,16 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
                                   cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"],
                      preferred_element_type=jnp.float32)   # [B, vocab]
-    nxt = sample_batch(key, logits, temperatures, top_ps)
-    return nxt.astype(jnp.int32), k_pool, v_pool
+    nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
+    return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
+
+
+def _chosen_logprob(logits: jnp.ndarray, chosen: jnp.ndarray) -> jnp.ndarray:
+    """Natural-log probability of each row's chosen token — the per-token
+    ``logprobs`` the reference computes as ``-F.cross_entropy``
+    (`chat/llama/generation.py:136,186-193`)."""
+    lw = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(lw, chosen[:, None], axis=-1)[:, 0]
 
 
 def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
@@ -189,8 +203,34 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                                   cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"],
                      preferred_element_type=jnp.float32)
-    nxt = sample_batch(key, logits, temperatures, top_ps)
-    return nxt.astype(jnp.int32), k_pool, v_pool
+    nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
+    return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _prompt_logprobs(logits: jnp.ndarray, targets: jnp.ndarray):
+    """logprob of ``targets[t]`` under ``logits[t]`` (the prefill logits row
+    that predicts it) — the prompt-echo side of the reference's logprobs
+    (`chat/llama/generation.py:179-193`).  [T, vocab], [T] -> [T]."""
+    return _chosen_logprob(logits, targets.astype(jnp.int32))
+
+
+# One jitted step per (impl, model geometry, kernel config) — shared across
+# engine instances so a short-lived engine (e.g. one built per
+# ``Llama.generate`` call) doesn't pay a fresh trace + Mosaic compile.
+_STEP_CACHE: Dict = {}
+
+
+def _jitted_step(step_impl: str, cfg: LlamaConfig, kcfg: KernelConfig):
+    key = (step_impl, cfg, kcfg.key())
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        impl = (_paged_decode_step_batched if step_impl == "batched"
+                else _paged_decode_step)
+        fn = jax.jit(functools.partial(impl, cfg=cfg, kcfg=kcfg),
+                     donate_argnums=(1, 2))
+        _STEP_CACHE[key] = fn
+    return fn
 
 
 class ServingEngine:
@@ -241,21 +281,17 @@ class ServingEngine:
             step_impl = ("fused" if isinstance(w, _QT) and w.kind == "int4"
                          else "batched")
         assert step_impl in ("batched", "fused")
-        impl = (_paged_decode_step_batched if step_impl == "batched"
-                else _paged_decode_step)
-        self._step = jax.jit(
-            functools.partial(impl, cfg=cfg, kcfg=kcfg),
-            donate_argnums=(1, 2))
+        self._step = _jitted_step(step_impl, cfg, kcfg)
 
     # -- request lifecycle ---------------------------------------------------
 
     def submit(self, req_id: int, prompt_tokens: Sequence[int],
                max_gen_len: int, temperature: float = 0.0,
-               top_p: float = 0.9) -> None:
+               top_p: float = 0.9, logprobs: bool = False) -> None:
         prompt = list(prompt_tokens)
         assert prompt, "empty prompt"
         self._reqs[req_id] = _Req(req_id, prompt, max_gen_len,
-                                  temperature, top_p)
+                                  temperature, top_p, want_logprobs=logprobs)
         self.sched.add(req_id, len(prompt))
 
     def _prefill_into_pool(self, req: _Req) -> None:
@@ -292,18 +328,37 @@ class ServingEngine:
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
                        self.k_pool.dtype)
         vc = jnp.zeros_like(kc)
+        want_plp = req.want_logprobs and not readmit
         chunk = self.prefill_chunk
         if chunk and cap > chunk:
             toks = jnp.asarray(prompt_pad, jnp.int32)
             n_real = round_up(T, chunk)        # skip all-padding tail chunks
+            plp_parts = []
             for p0 in range(0, n_real, chunk):
                 logits, kc, vc = model.prefill_chunk(
                     self.params, kc, vc, toks[p0:p0 + chunk], cfg, pos0=p0)
+                if want_plp:
+                    # logits row t predicts cached[p0+t+1]
+                    tgt = jnp.asarray(
+                        (cached + [0])[p0 + 1: p0 + chunk + 1]
+                        + [0] * max(0, p0 + chunk + 1 - len(cached) - 1),
+                        jnp.int32)
+                    plp_parts.append(np.asarray(
+                        _prompt_logprobs(logits, tgt[:chunk])))
             last_logits = logits[(T - 1) - (n_real - chunk)]
+            if want_plp:
+                flat = np.concatenate(plp_parts)
+                req.prompt_logprobs = [0.0] + [float(v)
+                                               for v in flat[:T - 1]]
         else:
             logits, kc, vc = model.prefill(
                 self.params, kc, vc, jnp.asarray(prompt_pad, jnp.int32), cfg)
             last_logits = logits[T - 1]
+            if want_plp:
+                tgt = jnp.asarray(cached[1:] + [0] * (cap - T + 1), jnp.int32)
+                plp = np.asarray(_prompt_logprobs(logits, tgt))
+                req.prompt_logprobs = [0.0] + [float(v)
+                                               for v in plp[:T - 1]]
         owned = self.sched.request_pages(req.id)
         n_used = min(len(owned), cap // page)
         pages = owned[:n_used]
@@ -327,6 +382,9 @@ class ServingEngine:
         tok = int(sample(sub, last_logits, req.temperature, req.top_p))
         req.cur_token = tok
         req.generated.append(tok)
+        if req.want_logprobs:
+            req.logprobs.append(float(_prompt_logprobs(
+                last_logits[None], jnp.asarray([tok], jnp.int32))[0]))
         self._maybe_finish(req)
 
     def _maybe_finish(self, req: _Req) -> None:
@@ -389,12 +447,13 @@ class ServingEngine:
             temps[b] = r.temperature
             tops[b] = r.top_p
         self._key, sub = jax.random.split(self._key)
-        nxt, self.k_pool, self.v_pool = self._step(
+        nxt, lp, self.k_pool, self.v_pool = self._step(
             self.params, self.k_pool, self.v_pool,
             jnp.asarray(tokens), jnp.asarray(poss_p),
             jnp.asarray(table_p), jnp.asarray(lens_p), sub,
             jnp.asarray(temps), jnp.asarray(tops))
         nxt = np.asarray(jax.device_get(nxt))
+        lp = np.asarray(jax.device_get(lp))
         self.sched.commit_batch()
 
         for b in range(B):
@@ -402,6 +461,8 @@ class ServingEngine:
             tok = int(nxt[b])
             req.cur_token = tok
             req.generated.append(tok)
+            if req.want_logprobs:
+                req.logprobs.append(float(lp[b]))
             self._maybe_finish(req)
         return True
 
@@ -425,9 +486,12 @@ class ServingEngine:
         }
 
     def run(self) -> Dict[int, List[int]]:
-        """Decode until every submitted request finishes."""
+        """Decode until every submitted request finishes.  Per-request
+        detail (logprobs, prompt logprobs) for the drained batch stays
+        readable on ``self.last_results`` until the next ``run``."""
         while self.step():
             pass
         out = {rid: r.generated for rid, r in self._reqs.items()}
+        self.last_results = dict(self._reqs)
         self._reqs = {r.id: r for r in self._reqs.values() if not r.done}
         return out

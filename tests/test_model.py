@@ -123,3 +123,65 @@ def test_gqa_decode_matches_eager():
     lf, _, _ = model.decode_step(params, kc, vc, tok, pos, cfg, fused=True)
     le, _, _ = model.decode_step(params, kc, vc, tok, pos, cfg, fused=False)
     assert float(jnp.max(jnp.abs(lf - le))) < 0.1
+
+
+def test_batched_generate_matches_greedy_oracle():
+    """`Llama.generate` decodes the whole batch together (reference
+    `generation.py:159-213` parity) — rows must equal per-row greedy
+    single-sequence decode, with per-row stopping at max_gen_len."""
+    cfg = LlamaConfig.tiny(max_seq_len=64)
+    eng = Llama.synthetic(cfg, seed=3)
+    params = eng.params
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8, 9, 10], [11, 12]]
+    n_gen = 5
+    toks, lps = eng.generate(prompts, n_gen, temperature=0.0)
+    assert lps is None
+    assert len(toks) == 3
+    for row, p in zip(toks, prompts):
+        kc, vc = model.init_cache(cfg)
+        logits, kc, vc = model.prefill(params, kc, vc,
+                                       jnp.asarray(p, jnp.int32), cfg)
+        want = [int(jnp.argmax(logits[len(p) - 1]))]
+        pos = len(p)
+        for _ in range(n_gen - 1):
+            lg, kc, vc = model.decode_step(
+                params, kc, vc, jnp.asarray(want[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32), cfg, fused=True)
+            want.append(int(jnp.argmax(lg)))
+            pos += 1
+        if eng.tokenizer.eos_id in want:        # generate cuts at eos
+            want = want[:want.index(eng.tokenizer.eos_id)]
+        assert row == want, (row, want)
+
+
+def test_generate_logprobs_match_forward_oracle():
+    """logprobs=True: each kept token's logprob must match a teacher-forced
+    full forward (the reference computes them as -cross_entropy,
+    `generation.py:136,186-193`); echo covers prompt positions with
+    token_logprobs[0] == 0.0 for bos."""
+    cfg = LlamaConfig.tiny(max_seq_len=64)
+    eng = Llama.synthetic(cfg, seed=4)
+    prompts = [[9, 8, 7, 6], [5, 4, 3]]
+    toks, lps = eng.generate(prompts, 4, temperature=0.0,
+                             logprobs=True, echo=True)
+    for row, lp, p in zip(toks, lps, prompts):
+        assert row[:len(p)] == p                      # echo
+        assert len(lp) == len(row)
+        assert lp[0] == 0.0
+        full = jnp.asarray(row, jnp.int32)
+        logits = model.forward(eng.params, full[None], cfg)[0]  # [T, vocab]
+        lw = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        want = np.asarray(
+            jnp.take_along_axis(lw[:-1], full[1:, None], axis=-1)[:, 0])
+        got = np.asarray(lp[1:], np.float32)
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_text_completion_logprobs_fields():
+    cfg = LlamaConfig.tiny(max_seq_len=64)
+    eng = Llama.synthetic(cfg, seed=5)
+    out = eng.text_completion(["ab", "xyz"], temperature=0.0,
+                              max_gen_len=4, logprobs=True)
+    for r in out:
+        assert set(r) == {"generation", "tokens", "logprobs"}
+        assert len(r["tokens"]) == len(r["logprobs"])

@@ -317,7 +317,7 @@ def test_serving_step_impls_agree():
     outs = {}
     for name, impl in (("fused", S._paged_decode_step),
                        ("batched", S._paged_decode_step_batched)):
-        n, kp2, vp2 = jax.jit(functools.partial(
+        n, _, kp2, vp2 = jax.jit(functools.partial(
             impl, cfg=CFG, kcfg=KernelConfig()))(
             params, kp, vp, toks, lens, table, lens, key, temps, tops)
         outs[name] = (np.asarray(n), np.asarray(kp2, np.float32))
