@@ -32,7 +32,11 @@ def main():
                     choices=["int8", "int4"],
                     help="weight-only quantization (dequant fused in-kernel)")
     ap.add_argument("--kv_fp8", action="store_true",
-                    help="store the KV cache as float8_e4m3")
+                    help="store the KV cache as float8_e4m3 (capacity "
+                         "format; slow on v5e — no fp8 ALU)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="store the KV cache as int8 + per-position scales "
+                         "(the TPU-native fast 8-bit KV format)")
     ap.add_argument("--spec_draft", type=str, default=None,
                     help="draft checkpoint dir for speculative decoding "
                          "('synthetic' for a random tiny draft); forces "
@@ -47,7 +51,8 @@ def main():
     import jax.numpy as jnp
 
     fused = not args.eager
-    kv_dtype = jnp.float8_e4m3fn if args.kv_fp8 else jnp.bfloat16
+    kv_dtype = ("int8" if args.kv_int8
+                else jnp.float8_e4m3fn if args.kv_fp8 else jnp.bfloat16)
     if args.synthetic:
         cfg = LlamaConfig.tiny(max_seq_len=args.max_seq_len)
         gen = Llama.synthetic(cfg, fused=fused, quant=args.quant,
@@ -71,6 +76,7 @@ def main():
     print(f"[prompt: {len(toks)} tokens | fused={gen.fused}"
           + (f" | quant={args.quant}" if args.quant else "")
           + (" | kv=fp8" if args.kv_fp8 else "")
+          + (" | kv=int8" if args.kv_int8 else "")
           + (f" | spec n_draft={args.n_draft}" if draft else "") + "]")
     t0 = time.perf_counter()
     if draft is not None:

@@ -47,7 +47,8 @@ from clusterfusion_tpu.ops.rope import (
     rope_tables_neox,
 )
 from clusterfusion_tpu.ops._support import interpret_mode
-from clusterfusion_tpu.ops.quant import QuantizedTensor, maybe_dequantize, quantize_llama_params
+from clusterfusion_tpu.ops.quant import (Int8KV, QuantizedTensor,
+    maybe_dequantize, quantize_kv_rows, quantize_llama_params)
 
 LlamaParams = Dict[str, Any]
 
@@ -145,8 +146,18 @@ def rope_table(cfg: LlamaConfig, max_pos: Optional[int] = None):
 def init_cache(cfg: LlamaConfig, max_seq: Optional[int] = None,
                dtype=jnp.bfloat16):
     """[L, kv_heads, capacity, head_dim] ×2, zero-filled (zeros matter: tile
-    padding read by the kernel must not be NaN)."""
+    padding read by the kernel must not be NaN).
+
+    dtype "int8" (or jnp.int8) → :class:`~clusterfusion_tpu.ops.quant.Int8KV`
+    caches (int8 payload + per-position scale planes), the TPU-native fast
+    8-bit KV format; capacity rounds up to the scale-plane tile (128)."""
     cap = max_seq or cfg.max_seq_len
+    if dtype == "int8" or dtype == jnp.int8:
+        from clusterfusion_tpu.ops.quant import init_kv_int8
+        if cap > 128:
+            cap = -(-cap // 128) * 128
+        return (init_kv_int8(cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_),
+                init_kv_int8(cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_))
     shape = (cfg.n_layers, cfg.kv_heads, cap, cfg.head_dim_)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
@@ -204,6 +215,31 @@ def _apply_rope(x, cos, sin, style):
     return apply_rope_gptj(x, cos, sin)
 
 
+def _prefix_rows(cache_l, pos0: int):
+    """First pos0 positions of a per-layer cache slice [kv, S, hd]
+    (dequantized for Int8KV)."""
+    if isinstance(cache_l, Int8KV):
+        H = cache_l.q.shape[0]
+        sflat = cache_l.s.reshape(H, -1)[:, :pos0]
+        return cache_l.q[:, :pos0].astype(jnp.float32) * sflat[:, :, None]
+    return cache_l[:, :pos0]
+
+
+def _cache_fill(cache, rows, pos0: int):
+    """Write [L, kv, T, hd] freshly-computed rows at positions
+    pos0..pos0+T-1 (quantizing per row for Int8KV)."""
+    if isinstance(cache, Int8KV):
+        q8, s = quantize_kv_rows(rows)                 # s [L, kv, T]
+        qc = jax.lax.dynamic_update_slice(cache.q, q8, (0, 0, pos0, 0))
+        L, H, R, _ = cache.s.shape
+        sflat = jax.lax.dynamic_update_slice(
+            cache.s.reshape(L, H, R * 128), s.astype(cache.s.dtype),
+            (0, 0, pos0))
+        return Int8KV(qc, sflat.reshape(L, H, R, 128))
+    return jax.lax.dynamic_update_slice(
+        cache, rows.astype(cache.dtype), (0, 0, pos0, 0))
+
+
 # --------------------------------------------------------------------------
 # Prefill.  The reference only ever prefills eagerly with a materialized
 # [T, S] score tensor (`model.py:589-603`); here the default path is the
@@ -240,9 +276,9 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         v_new = v[0].transpose(1, 0, 2)
         if pos0:
             k_ctx = jnp.concatenate(
-                [kc_l[:, :pos0].astype(h.dtype), k_new], axis=1)
+                [_prefix_rows(kc_l, pos0).astype(h.dtype), k_new], axis=1)
             v_ctx = jnp.concatenate(
-                [vc_l[:, :pos0].astype(h.dtype), v_new], axis=1)
+                [_prefix_rows(vc_l, pos0).astype(h.dtype), v_new], axis=1)
         else:
             k_ctx, v_ctx = k_new, v_new                    # [kv, S, hd]
         if flash:
@@ -275,10 +311,8 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
 
     h, (k_new, v_new) = jax.lax.scan(
         layer, h, (params["layers"], k_cache, v_cache))
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k_new.astype(k_cache.dtype), (0, 0, pos0, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v_new.astype(v_cache.dtype), (0, 0, pos0, 0))
+    k_cache = _cache_fill(k_cache, k_new, pos0)
+    v_cache = _cache_fill(v_cache, v_new, pos0)
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(xn[0], params["lm_head"], preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
@@ -344,6 +378,34 @@ def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
 # --------------------------------------------------------------------------
 
 
+def _cache_append(cache, rows, l, pos):
+    """Append [kv, 1, hd] new rows at (layer l, position pos) — plain dtype
+    cast for bf16/fp8 caches, row quantization + scale-plane write for
+    :class:`Int8KV` (the eager oracle of the in-kernel quantized append)."""
+    if isinstance(cache, Int8KV):
+        q8, s = quantize_kv_rows(rows)               # [kv,1,hd], [kv,1]
+        H = q8.shape[0]
+        qc = jax.lax.dynamic_update_slice(cache.q, q8[None], (l, 0, pos, 0))
+        sc = jax.lax.dynamic_update_slice(
+            cache.s, s.reshape(1, H, 1, 1).astype(cache.s.dtype),
+            (l, 0, pos // 128, pos - (pos // 128) * 128))
+        return Int8KV(qc, sc)
+    return jax.lax.dynamic_update_slice(
+        cache, rows[None].astype(cache.dtype), (l, 0, pos, 0))
+
+
+def _cache_layer(cache, l):
+    """Layer l of a cache, dequantized to f32-compatible values:
+    [kv, cap, hd]."""
+    if isinstance(cache, Int8KV):
+        ql = jax.lax.dynamic_index_in_dim(cache.q, l, 0, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(cache.s, l, 0, keepdims=False)
+        H, cap, _ = ql.shape
+        sflat = sl.reshape(H, -1)[:, :cap]           # [kv, cap]
+        return ql.astype(jnp.float32) * sflat[:, :, None]
+    return jax.lax.dynamic_index_in_dim(cache, l, 0, keepdims=False)
+
+
 def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
                       token: jnp.ndarray, pos: jnp.ndarray, cfg: LlamaConfig,
                       kcfg: KernelConfig = KernelConfig(), fused: bool = True):
@@ -402,12 +464,10 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg)    # q [1,1,kv,g,hd]
         q = _apply_rope(q, cos[0], sin[0], cfg.rope_style)
         k = _apply_rope(k, cos[0], sin[0], cfg.rope_style)
-        kc = jax.lax.dynamic_update_slice(
-            kc, k[0].transpose(1, 0, 2)[None].astype(kc.dtype), (l, 0, pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v[0].transpose(1, 0, 2)[None].astype(vc.dtype), (l, 0, pos, 0))
-        kl = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
-        vl = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        kc = _cache_append(kc, k[0].transpose(1, 0, 2), l, pos)
+        vc = _cache_append(vc, v[0].transpose(1, 0, 2), l, pos)
+        kl = _cache_layer(kc, l)
+        vl = _cache_layer(vc, l)
         scale = 1.0 / jnp.sqrt(jnp.float32(hd))
         scores = jnp.einsum("kgd,ksd->kgs", q[0, 0], kl,
                             preferred_element_type=jnp.float32) * scale

@@ -29,10 +29,64 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+class Int8KV(NamedTuple):
+    """INT8 KV cache: the TPU-native 8-bit KV format.
+
+    v5e has no fp8 ALU, so an fp8 cache pays a slow e4m3→bf16 software
+    convert at every dot (measured 2.5× decode slowdown at 8K ctx); int8
+    converts to bf16 natively on the VPU — the same cheap cast the INT8
+    *weight* path rides.  Per-(head, position) symmetric scales make the
+    scale algebra commute with the attention dots:
+
+        scores[:, j] = (q · k8_j) · sk_j      (row scale on scores)
+        o = Σ_j (p_j · sv_j) · v8_j           (scale folded into p)
+
+    q: int8 ``[L, H, S, hd]`` (same layout as a bf16 cache).
+    s: f32 ``[L, H, R, 128]`` with R = max(ceil(S/128), 8) — position p's
+       scale lives at ``[l, h, p//128, p%128]``.  The 2-D tile layout keeps
+       every kernel access legal: chunk reads are (…, chunk//128, 128)
+       blocks, and the in-kernel append is the same 8-sublane RMW window
+       the KV rows use (R ≥ 8 guarantees the window fits).
+    """
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+
+    @property
+    def dtype(self):          # duck-type jnp.ndarray for cache callers
+        return jnp.int8
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def init_kv_int8(n_layers: int, kv_heads: int, cap: int,
+                 head_dim: int) -> Int8KV:
+    rows = max(-(-cap // 128), 8)
+    return Int8KV(jnp.zeros((n_layers, kv_heads, cap, head_dim), jnp.int8),
+                  jnp.ones((n_layers, kv_heads, rows, 128), jnp.float32))
+
+
+def kv_scales_flat(s: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """[L, H, R, 128] → [L, H, cap] per-position scales (eager/oracle use)."""
+    L, H, R, _ = s.shape
+    return s.reshape(L, H, R * 128)[..., :cap]
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """Symmetric int8 row quantization over the trailing dim.
+    x [..., hd] → (q int8 [..., hd], s f32 [...])."""
+    xa = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xa), axis=-1), 1e-8) * (1.0 / 127.0)
+    q = jnp.round(xa / s[..., None]).astype(jnp.int8)
+    return q, s
 
 
 def _norm_axis(axis: int, ndim: int) -> int:

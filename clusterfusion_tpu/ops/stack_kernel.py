@@ -48,7 +48,7 @@ from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
     _int4_dot, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
-from clusterfusion_tpu.ops.quant import QuantizedTensor
+from clusterfusion_tpu.ops.quant import Int8KV, QuantizedTensor
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -61,8 +61,10 @@ def _stack_kernel(
     hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
     bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
+    kv_kind: str = "none",
 ):
     with_lm = nv > 0
+    kv8 = kv_kind == "int8"
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
@@ -76,11 +78,15 @@ def _stack_kernel(
         fnorm_ref = next(it)
         lm_ref = next(it)
     k_ref, v_ref = next(it), next(it)
+    ks_ref, vs_ref = (next(it), next(it)) if kv8 else (None, None)
     hx_out_ref, res_out_ref = next(it), next(it)
     logits_ref = next(it) if with_lm else None
     kc_out_ref, vc_out_ref = next(it), next(it)
+    ksc_out_ref, vsc_out_ref = (next(it), next(it)) if kv8 else (None, None)
     (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
      krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
+    if kv8:
+        ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
 
     # 1D grid flattened over (layer, phase) + trailing LM-head phases
     TA = G * (nc + 1)
@@ -148,14 +154,51 @@ def _stack_kernel(
         v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
         k_in.start()
         v_in.start()
+        if kv8:
+            # quantize the new K/V rows (symmetric absmax/127 per head) and
+            # RMW their per-position scales into the [R, 128] scale planes:
+            # position `row` lives at plane (row//128, row%128); the window
+            # start (row//1024)*8 is the same 8-sublane-aligned dynamic-DMA
+            # proof form the KV rows use
+            k_cur = kv_s[:hg, :]
+            v_cur = kv_s[hg:, :]
+            sk = jnp.maximum(jnp.max(jnp.abs(k_cur), axis=-1, keepdims=True),
+                             1e-8) * (1.0 / 127.0)           # [hg, 1]
+            sv = jnp.maximum(jnp.max(jnp.abs(v_cur), axis=-1, keepdims=True),
+                             1e-8) * (1.0 / 127.0)
+            srow8 = (row // 1024) * 8
+            soff_r = row // 128 - srow8
+            scol = row - (row // 128) * 128
+            kssl = ksc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(srow8, 8)]
+            vssl = vsc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(srow8, 8)]
+            ks_in = pltpu.make_async_copy(kssl, ksrow_s, srow_sem.at[0])
+            vs_in = pltpu.make_async_copy(vssl, vsrow_s, srow_sem.at[1])
+            ks_in.start()
+            vs_in.start()
+            k_new = jnp.round(k_cur / sk)
+            v_new = jnp.round(v_cur / sv)
+            ks_in.wait()
+            vs_in.wait()
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, 128), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, 128), 2)
+            smask = jnp.logical_and(sub_r == soff_r, lane == scol)
+            ksrow_s[...] = jnp.where(smask, sk[:, :, None], ksrow_s[...])
+            vsrow_s[...] = jnp.where(smask, sv[:, :, None], vsrow_s[...])
+            ks_out = pltpu.make_async_copy(ksrow_s, kssl, srow_sem.at[0])
+            vs_out = pltpu.make_async_copy(vsrow_s, vssl, srow_sem.at[1])
+            ks_out.start()
+            vs_out.start()
+        else:
+            k_new = kv_s[:hg, :]
+            v_new = kv_s[hg:, :]
         k_in.wait()
         v_in.wait()
         sub = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, hd), 1)
         krow_s[...] = jnp.where(sub == off,
-                                kv_s[:hg, :].astype(krow_s.dtype)[:, None, :],
+                                k_new.astype(krow_s.dtype)[:, None, :],
                                 krow_s[...])
         vrow_s[...] = jnp.where(sub == off,
-                                kv_s[hg:, :].astype(vrow_s.dtype)[:, None, :],
+                                v_new.astype(vrow_s.dtype)[:, None, :],
                                 vrow_s[...])
         k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
         v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
@@ -163,6 +206,9 @@ def _stack_kernel(
         v_out.start()
         k_out.wait()
         v_out.wait()
+        if kv8:
+            ks_out.wait()
+            vs_out.wait()
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
@@ -182,13 +228,23 @@ def _stack_kernel(
             vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kv8:
+                # int8 KV: per-position K scales commute to a row scale on
+                # the scores; V scales fold into p before the p·V dot.  The
+                # int8→bf16 cast above is the native VPU convert (unlike
+                # fp8's software convert) — the whole point of this format.
+                rb = max(kv_chunk // 128, 1)
+                skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
+                svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
+                scores = scores * skf
             scores = jnp.where(col_valid, scores, _NEG_INF)
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
             l_old = ml_s[1, h * group:(h + 1) * group].reshape(group, 1)
             m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
             alpha = jnp.exp2(m_old - m_new)
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
-            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            pv_in = (p * svf if kv8 else p).astype(jnp.bfloat16)
+            pv = jnp.dot(pv_in, vc, preferred_element_type=f32)
             acc_s[h * group:(h + 1) * group, :] = \
                 acc_s[h * group:(h + 1) * group, :] * alpha + pv
             ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]
@@ -340,7 +396,14 @@ def fused_decoder_stack(
     hidden = x.shape[-1]
     hd = head_dim
     dt = x.dtype
-    L_, kv_heads, cap, _ = k_cache.shape
+    kv8 = isinstance(k_cache, Int8KV)
+    if kv8:
+        k_arr, ks_arr = k_cache.q, k_cache.s
+        v_arr, vs_arr = v_cache.q, v_cache.s
+    else:
+        k_arr, v_arr = k_cache, v_cache
+        ks_arr = vs_arr = None
+    L_, kv_heads, cap, _ = k_arr.shape
 
     wq_kind, gs_q = "none", 0
     wqkv_q = wqkv_s = wo_q = wo_s = w13_q = w13_s = w2_q = w2_s = None
@@ -363,6 +426,12 @@ def fused_decoder_stack(
     pack = 2 if wq_kind == "int4" else 1
 
     chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    if kv8:
+        # scale planes tile positions 128 per row: chunks must cover whole
+        # plane rows (or the single-chunk small-cap case)
+        assert cap % 128 == 0 or cap <= 128, \
+            f"int8 KV capacity must be 128-aligned (or <=128), got {cap}"
+        assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
     nc = max(cdiv(cap, chunk), 1)
     bf = ffn_block_size(f_pad)
     nb = f_pad // bf
@@ -467,10 +536,16 @@ def fused_decoder_stack(
                                   lambda ta, s: (0, jv_of(ta)),
                                   memory_space=pltpu.VMEM))
     k_alias_idx = 1 + len(inputs)
-    add(k_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
-                              memory_space=pltpu.VMEM))
-    add(v_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
-                              memory_space=pltpu.VMEM))
+    add(k_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                            memory_space=pltpu.VMEM))
+    add(v_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                            memory_space=pltpu.VMEM))
+    if kv8:
+        rb = max(chunk // 128, 1)
+        s_spec = pl.BlockSpec((1, hg, rb, 128), kv_index_map,
+                              memory_space=pltpu.VMEM)
+        add(ks_arr, s_spec)
+        add(vs_arr, s_spec)
 
     out_specs = [
         pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
@@ -486,6 +561,11 @@ def fused_decoder_stack(
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
+    if kv8:
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -502,17 +582,21 @@ def fused_decoder_stack(
             pltpu.VMEM((1, hidden), jnp.float32),        # hx carry
             pltpu.VMEM((1, hidden), jnp.float32),        # residual carry
             pltpu.VMEM((1, hidden), jnp.float32),        # ffn acc
-            pltpu.VMEM((hg, 8, hd), k_cache.dtype),      # K append RMW
-            pltpu.VMEM((hg, 8, hd), v_cache.dtype),      # V append RMW
+            pltpu.VMEM((hg, 8, hd), k_arr.dtype),        # K append RMW
+            pltpu.VMEM((hg, 8, hd), v_arr.dtype),        # V append RMW
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([
+            pltpu.VMEM((hg, 8, 128), jnp.float32),       # K-scale RMW
+            pltpu.VMEM((hg, 8, 128), jnp.float32),       # V-scale RMW
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if kv8 else []),
     )
 
     kernel = functools.partial(
         _stack_kernel, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
-        w4a8=kcfg.int4_w4a8)
+        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none")
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))
@@ -520,7 +604,9 @@ def fused_decoder_stack(
                       + kv_heads * group * cap * hd * 2
                       + kv_heads * group * hd * hidden
                       + 3 * hidden * f_pad)
-    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_cache.dtype.itemsize
+    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_arr.dtype.itemsize
+    if kv8:
+        nbytes += 2 * ks_arr.size * 4
 
     out_shape = [
         jax.ShapeDtypeStruct((1, hidden), dt),
@@ -529,11 +615,18 @@ def fused_decoder_stack(
     if with_lm:
         out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
     out_shape += [
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct(k_arr.shape, k_arr.dtype),
+        jax.ShapeDtypeStruct(v_arr.shape, v_arr.dtype),
     ]
     n_pre = 3 if with_lm else 2
     aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
+    if kv8:
+        out_shape += [
+            jax.ShapeDtypeStruct(ks_arr.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs_arr.shape, jnp.float32),
+        ]
+        aliases[k_alias_idx + 2] = n_pre + 2
+        aliases[k_alias_idx + 3] = n_pre + 3
 
     seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     results = pl.pallas_call(
@@ -549,8 +642,13 @@ def fused_decoder_stack(
         input_output_aliases=aliases,
         interpret=interpret,
     )(seq_arr, *inputs)
+    if kv8:
+        *head, kc, vc, ks, vs = results
+        kc, vc = Int8KV(kc, ks), Int8KV(vc, vs)
+    else:
+        *head, kc, vc = results
     if with_lm:
-        x_out, res_out, logits, kc, vc = results
+        x_out, res_out, logits = head
         return logits, res_out, kc, vc
-    x_out, res_out, kc, vc = results
+    x_out, res_out = head
     return x_out, res_out, kc, vc

@@ -43,9 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
-    _dequant_int4_tile, _m2, _rope_vec)
+    _int4_dot, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
-from clusterfusion_tpu.ops.quant import QuantizedTensor
+from clusterfusion_tpu.ops.quant import Int8KV, QuantizedTensor
 from clusterfusion_tpu.ops.stack_kernel import _vocab_block
 
 _LOG2E = 1.4426950408889634
@@ -59,8 +59,10 @@ def _verify_kernel(
     n: int, hg: int, group: int, head_dim: int, kv_chunk: int, nc: int,
     G: int, bf: int, nb: int, hidden: int, L: int, nv: int, Wr: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int,
+    w4a8: bool = True, kv_kind: str = "none", Sr: int = 8,
 ):
     with_lm = nv > 0
+    kv8 = kv_kind == "int8"
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
@@ -74,11 +76,15 @@ def _verify_kernel(
         fnorm_ref = next(it)
         lm_ref = next(it)
     k_ref, v_ref = next(it), next(it)
+    ks_ref, vs_ref = (next(it), next(it)) if kv8 else (None, None)
     hx_out_ref, res_out_ref = next(it), next(it)
     logits_ref = next(it) if with_lm else None
     kc_out_ref, vc_out_ref = next(it), next(it)
+    ksc_out_ref, vsc_out_ref = (next(it), next(it)) if kv8 else (None, None)
     (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
      krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
+    if kv8:
+        ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
 
     TA = G * (nc + 1)
     T = TA + nb
@@ -118,8 +124,8 @@ def _verify_kernel(
             qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
                           preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:
-            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
-            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+            qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q,
+                            w4a8)
         cos_f = cos_ref[...].astype(f32)               # [n, hd] per-row
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -146,14 +152,53 @@ def _verify_kernel(
         v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
         k_in.start()
         v_in.start()
+        kv_all = kv_s[...].reshape(2, hg, n, hd)
+        if kv8:
+            # per-(head, token) int8 scales; the n positions can straddle a
+            # 128-column scale-plane row, so the RMW window is Sr rows
+            # anchored at the same (seq//1024)*8 aligned start (clamped)
+            sk = jnp.maximum(jnp.max(jnp.abs(kv_all[0]), axis=-1),
+                             1e-8) * (1.0 / 127.0)            # [hg, n]
+            sv = jnp.maximum(jnp.max(jnp.abs(kv_all[1]), axis=-1),
+                             1e-8) * (1.0 / 127.0)
+            R_ = ksc_out_ref.shape[2]
+            s0 = (jnp.minimum(seq, cap_ - 1) // 1024) * 8
+            s0 = jnp.minimum(s0, R_ - Sr)
+            kssl = ksc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(s0, Sr)]
+            vssl = vsc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(s0, Sr)]
+            ks_in = pltpu.make_async_copy(kssl, ksrow_s, srow_sem.at[0])
+            vs_in = pltpu.make_async_copy(vssl, vsrow_s, srow_sem.at[1])
+            ks_in.start()
+            vs_in.start()
+            ks_in.wait()
+            vs_in.wait()
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (hg, Sr, 128), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (hg, Sr, 128), 2)
+            for tok in range(n):
+                pos_t = seq + tok
+                smask = jnp.logical_and(sub_r == pos_t // 128 - s0,
+                                        lane == pos_t % 128)
+                ksrow_s[...] = jnp.where(smask, sk[:, tok][:, None, None],
+                                         ksrow_s[...])
+                vsrow_s[...] = jnp.where(smask, sv[:, tok][:, None, None],
+                                         vsrow_s[...])
+            ks_out = pltpu.make_async_copy(ksrow_s, kssl, srow_sem.at[0])
+            vs_out = pltpu.make_async_copy(vsrow_s, vssl, srow_sem.at[1])
+            ks_out.start()
+            vs_out.start()
         k_in.wait()
         v_in.wait()
         sub = jax.lax.broadcasted_iota(jnp.int32, (hg, Wr, hd), 1)
-        kv_all = kv_s[...].reshape(2, hg, n, hd)
         for tok in range(n):
             sel = sub == off + tok
-            k_tok = kv_all[0, :, tok].astype(krow_s.dtype)     # [hg, hd]
-            v_tok = kv_all[1, :, tok].astype(vrow_s.dtype)
+            if kv8:
+                k_tok = jnp.round(kv_all[0, :, tok] / sk[:, tok][:, None]) \
+                    .astype(krow_s.dtype)
+                v_tok = jnp.round(kv_all[1, :, tok] / sv[:, tok][:, None]) \
+                    .astype(vrow_s.dtype)
+            else:
+                k_tok = kv_all[0, :, tok].astype(krow_s.dtype)  # [hg, hd]
+                v_tok = kv_all[1, :, tok].astype(vrow_s.dtype)
             krow_s[...] = jnp.where(sel, k_tok[:, None, :], krow_s[...])
             vrow_s[...] = jnp.where(sel, v_tok[:, None, :], vrow_s[...])
         k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
@@ -162,6 +207,9 @@ def _verify_kernel(
         v_out.start()
         k_out.wait()
         v_out.wait()
+        if kv8:
+            ks_out.wait()
+            vs_out.wait()
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
@@ -182,13 +230,19 @@ def _verify_kernel(
             vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kv8:
+                rb = max(kv_chunk // 128, 1)
+                skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
+                svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
+                scores = scores * skf
             scores = jnp.where(col_valid, scores, _NEG_INF)
             m_old = ml_s[0, r0:r0 + group * n].reshape(group * n, 1)
             l_old = ml_s[1, r0:r0 + group * n].reshape(group * n, 1)
             m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
             alpha = jnp.exp2(m_old - m_new)
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
-            pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            pv_in = (p * svf if kv8 else p).astype(jnp.bfloat16)
+            pv = jnp.dot(pv_in, vc, preferred_element_type=f32)
             acc_s[r0:r0 + group * n, :] = \
                 acc_s[r0:r0 + group * n, :] * alpha + pv
             ml_s[0, r0:r0 + group * n] = m_new[:, 0]
@@ -233,8 +287,8 @@ def _verify_kernel(
             aout_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
                                    preferred_element_type=f32) * _m2(wo_s_ref)
         else:
-            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
-            aout_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+            aout_s[...] += _int4_dot(o_flat, _m2(wo_ref), _m2(wo_s_ref),
+                                     gs_q, w4a8)
 
     # ---- FFN phases ----------------------------------------------------------
     in_ffn = jnp.logical_and(t >= TA, t < T)
@@ -260,15 +314,9 @@ def _verify_kernel(
             y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
                           preferred_element_type=f32) * s[1]
         else:
-            from clusterfusion_tpu.ops.quant import (expand_group_scales,
-                                                     unpack_int4)
-            sb = _r3(w13_s_ref).astype(jnp.bfloat16)
-            wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
-                * expand_group_scales(sb[0], 0, gs_q)
-            wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
-                * expand_group_scales(sb[1], 0, gs_q)
-            y_g = jnp.dot(xn, wg, preferred_element_type=f32)
-            y_u = jnp.dot(xn, wu, preferred_element_type=f32)
+            sb = _r3(w13_s_ref)
+            y_g = _int4_dot(xn, w[0], sb[0], gs_q, w4a8)
+            y_u = _int4_dot(xn, w[1], sb[1], gs_q, w4a8)
         act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
         if wq_kind == "none":
             ffn_s[...] += jnp.dot(act, _m2(w2_ref),
@@ -277,12 +325,8 @@ def _verify_kernel(
             ffn_s[...] += jnp.dot(act, _m2(w2_ref).astype(jnp.bfloat16),
                                   preferred_element_type=f32)
         else:
-            from clusterfusion_tpu.ops.quant import (expand_group_scales,
-                                                     unpack_int4)
-            w2v = unpack_int4(_m2(w2_ref), 1).astype(jnp.bfloat16) \
-                * expand_group_scales(_m2(w2_s_ref).astype(jnp.bfloat16),
-                                      0, gs_q)
-            ffn_s[...] += jnp.dot(act, w2v, preferred_element_type=f32)
+            ffn_s[...] += _int4_dot(act, _m2(w2_ref), _m2(w2_s_ref),
+                                    gs_q, w4a8, unpack_axis=1)
 
     # ---- layer exit ----------------------------------------------------------
     @pl.when(t == T - 1)
@@ -339,7 +383,14 @@ def fused_verify_stack(
     n, hidden = x.shape
     hd = head_dim
     dt = x.dtype
-    L_, kv_heads, cap, _ = k_cache.shape
+    kv8 = isinstance(k_cache, Int8KV)
+    if kv8:
+        k_arr, ks_arr = k_cache.q, k_cache.s
+        v_arr, vs_arr = v_cache.q, v_cache.s
+    else:
+        k_arr, v_arr = k_cache, v_cache
+        ks_arr = vs_arr = None
+    L_, kv_heads, cap, _ = k_arr.shape
     Wr = round_up(n + 7, 8)
     assert cap >= Wr, (cap, Wr)
 
@@ -364,6 +415,11 @@ def fused_verify_stack(
     pack = 2 if wq_kind == "int4" else 1
 
     chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    if kv8:
+        assert cap % 128 == 0 or cap <= 128, \
+            f"int8 KV capacity must be 128-aligned (or <=128), got {cap}"
+        assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
+    Sr = 16 if (kv8 and ks_arr.shape[2] >= 16) else 8
     nc = max(cdiv(cap, chunk), 1)
     bf = ffn_block_size(f_pad)
     nb = f_pad // bf
@@ -461,10 +517,16 @@ def fused_verify_stack(
                                   lambda ta, s: (0, jv_of(ta)),
                                   memory_space=pltpu.VMEM))
     k_alias_idx = 1 + len(inputs)
-    add(k_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
-                              memory_space=pltpu.VMEM))
-    add(v_cache, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
-                              memory_space=pltpu.VMEM))
+    add(k_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                            memory_space=pltpu.VMEM))
+    add(v_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
+                            memory_space=pltpu.VMEM))
+    if kv8:
+        rb = max(chunk // 128, 1)
+        s_spec = pl.BlockSpec((1, hg, rb, 128), kv_index_map,
+                              memory_space=pltpu.VMEM)
+        add(ks_arr, s_spec)
+        add(vs_arr, s_spec)
 
     out_specs = [
         pl.BlockSpec((n, hidden), lambda ta, s: (0, 0),
@@ -480,6 +542,11 @@ def fused_verify_stack(
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
+    if kv8:
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -496,16 +563,21 @@ def fused_verify_stack(
             pltpu.VMEM((n, hidden), jnp.float32),            # hx carry
             pltpu.VMEM((n, hidden), jnp.float32),            # residual carry
             pltpu.VMEM((n, hidden), jnp.float32),            # ffn acc
-            pltpu.VMEM((hg, Wr, hd), k_cache.dtype),         # K append RMW
-            pltpu.VMEM((hg, Wr, hd), v_cache.dtype),         # V append RMW
+            pltpu.VMEM((hg, Wr, hd), k_arr.dtype),           # K append RMW
+            pltpu.VMEM((hg, Wr, hd), v_arr.dtype),           # V append RMW
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([
+            pltpu.VMEM((hg, Sr, 128), jnp.float32),          # K-scale RMW
+            pltpu.VMEM((hg, Sr, 128), jnp.float32),          # V-scale RMW
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if kv8 else []),
     )
 
     kernel = functools.partial(
         _verify_kernel, n=n, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv, Wr=Wr,
-        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
+        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none", Sr=Sr)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))
@@ -513,7 +585,9 @@ def fused_verify_stack(
                           + kv_heads * group * (cap + n) * hd * 2
                           + kv_heads * group * hd * hidden
                           + 3 * hidden * f_pad)
-    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_cache.dtype.itemsize
+    nbytes = wbytes + 2 * L_ * kv_heads * cap * hd * k_arr.dtype.itemsize
+    if kv8:
+        nbytes += 2 * ks_arr.size * 4
 
     out_shape = [
         jax.ShapeDtypeStruct((n, hidden), dt),
@@ -522,11 +596,18 @@ def fused_verify_stack(
     if with_lm:
         out_shape.append(jax.ShapeDtypeStruct((n, V), jnp.float32))
     out_shape += [
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct(k_arr.shape, k_arr.dtype),
+        jax.ShapeDtypeStruct(v_arr.shape, v_arr.dtype),
     ]
     n_pre = 3 if with_lm else 2
     aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
+    if kv8:
+        out_shape += [
+            jax.ShapeDtypeStruct(ks_arr.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs_arr.shape, jnp.float32),
+        ]
+        aliases[k_alias_idx + 2] = n_pre + 2
+        aliases[k_alias_idx + 3] = n_pre + 3
 
     seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     results = pl.pallas_call(
@@ -542,8 +623,13 @@ def fused_verify_stack(
         input_output_aliases=aliases,
         interpret=interpret,
     )(seq_arr, *inputs)
+    if kv8:
+        *head, kc, vc, ks, vs = results
+        kc, vc = Int8KV(kc, ks), Int8KV(vc, vs)
+    else:
+        *head, kc, vc = results
     if with_lm:
-        x_out, res_out, logits, kc, vc = results
+        x_out, res_out, logits = head
         return logits, res_out, kc, vc
-    x_out, res_out, kc, vc = results
+    x_out, res_out = head
     return x_out, res_out, kc, vc
