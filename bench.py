@@ -36,11 +36,12 @@ def _fetch(x):
     return np.asarray(jax.device_get(x))
 
 
-def _time_decode(params, cfg, n_gen: int, fused: bool) -> float:
+def _time_decode(params, cfg, n_gen: int, fused: bool,
+                 kv_dtype=jnp.bfloat16) -> float:
     """Tokens/s for an on-device greedy decode of n_gen tokens."""
     from clusterfusion_tpu.models import llama as model
 
-    k_cache, v_cache = model.init_cache(cfg)
+    k_cache, v_cache = model.init_cache(cfg, dtype=kv_dtype)
     prompt = jnp.arange(16, dtype=jnp.int32) % 100
     logits, k_cache, v_cache = model.prefill(params, k_cache, v_cache,
                                              prompt, cfg)
@@ -163,15 +164,22 @@ def _time_prefill(params, cfg) -> float:
     return T / min(run() for _ in range(3))
 
 
-def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24) -> float:
-    """Aggregate tok/s of the batched serving step (B concurrent requests,
+def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
+                  impl: str = "batched") -> float:
+    """Aggregate tok/s of one serving step impl (B concurrent requests,
     paged pools), timed as an on-device chain — the host-driven engine
     loop pays a relay roundtrip per step in this environment, which a
-    production dispatcher does not."""
+    production dispatcher does not.  impl "batched" = batched XLA matmuls
+    + pallas page walk (the B>=4 winner); "fused" = the per-layer paged
+    megakernel (B=1 parity op) — both published so the serving crossover
+    is chosen with data (README "Serving step" table)."""
     import functools
 
     from clusterfusion_tpu.config import KernelConfig
-    from clusterfusion_tpu.runtime.serving import _paged_decode_step_batched
+    from clusterfusion_tpu.runtime.serving import (_paged_decode_step,
+                                                   _paged_decode_step_batched)
+    step_fn = (_paged_decode_step_batched if impl == "batched"
+               else _paged_decode_step)
 
     page, P = 16, 16
     num_pages = B * P + 1
@@ -190,7 +198,7 @@ def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24) -> float:
         def run(params, kp, vp, toks):
             def body(c, _):
                 t, a, b2 = c
-                nxt, _, a, b2 = _paged_decode_step_batched(
+                nxt, _, a, b2 = step_fn(
                     params, a, b2, t, lens, table, lens, key, temps, tops,
                     cfg=cfg, kcfg=KernelConfig())
                 return (nxt, a, b2), ()
@@ -285,15 +293,25 @@ def main():
     # fp16-only reference): ordered before the bf16 model so HBM never has
     # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
-    serving_tps = None
+    serving_tps = serving_fused_tps = int8kv_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
             jax.block_until_ready(qparams["embed"])
             quant_tps[kind] = _time_decode(qparams, cfg, n_gen, fused=True)
+            if kind == "int8":
+                try:
+                    # the 8-bit-KV operating point: int8 weights + int8 KV
+                    # (the TPU-native 8-bit cache; see ops.quant.Int8KV)
+                    int8kv_tps = _time_decode(qparams, cfg, n_gen,
+                                              fused=True, kv_dtype="int8")
+                except Exception as e:  # pragma: no cover
+                    print(f"# int8kv bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     serving_tps = _time_serving(qparams, cfg, B=8)
+                    serving_fused_tps = _time_serving(qparams, cfg, B=8,
+                                                      impl="fused")
                 except Exception as e:  # pragma: no cover
                     print(f"# serving bench failed: {e!r}", flush=True)
             del qparams
@@ -343,6 +361,10 @@ def main():
         "prefill_tokens_per_s": round(prefill_tps, 0),
         "serving_int8_b8_tokens_per_s": round(serving_tps, 1)
         if serving_tps else None,
+        "serving_fused_int8_b8_tokens_per_s": round(serving_fused_tps, 1)
+        if serving_fused_tps else None,
+        "int8_int8kv_tokens_per_s": round(int8kv_tps, 2)
+        if int8kv_tps else None,
         "device": str(jax.devices()[0]),
     }))
 
