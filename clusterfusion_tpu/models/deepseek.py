@@ -91,11 +91,15 @@ def init_params(cfg: DeepSeekConfig, key, dtype=jnp.bfloat16) -> DeepSeekParams:
 
 def init_cache(cfg: DeepSeekConfig, max_seq: int | None = None,
                dtype=jnp.bfloat16):
-    """Compressed-KV cache [L, capacity, lora_rank + rope_head_dim] — ~9x
+    """Compressed-KV cache [L, capacity, round_up(lora + rope, 128)] — ~9x
     smaller than a materialized K/V cache at V2-lite geometry (the whole
-    point of MLA)."""
+    point of MLA).  The minor dim is 128-padded (V2's 512+64=576 is not
+    lane-aligned): TPU HBM tiling requires it for the kernel's chunk DMAs
+    and in-place row append; pad columns stay zero."""
     cap = max_seq or cfg.max_seq_len
-    return jnp.zeros((cfg.n_layers, cap, cfg.mla_head_dim), dtype)
+    from clusterfusion_tpu.ops._support import round_up
+    return jnp.zeros((cfg.n_layers, cap, round_up(cfg.mla_head_dim, 128)),
+                     dtype)
 
 
 def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
@@ -121,7 +125,7 @@ def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
     q_lora = jnp.einsum("hd,hdr->hr", q_nope, p["wuk"].astype(f32))
     q = jnp.concatenate([q_lora, q_pe], axis=-1)           # [h, mla]
     scale = jnp.float32(cfg.softmax_scale)
-    cache_f = cache_l.astype(f32)
+    cache_f = cache_l[:, :lora + rope].astype(f32)         # drop 128-pad
     scores = q @ cache_f.T * scale                         # [h, cap]
     valid = jnp.arange(cache_l.shape[0])[None, :] < pos
     scores = jnp.where(valid, scores, -1e30)
@@ -251,6 +255,9 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
         return x, rows.astype(cache.dtype)
 
     x, rows = jax.lax.scan(layer, x, params["layers"])     # rows [L, T, mla]
+    pad = cache.shape[-1] - rows.shape[-1]                 # cache 128-pad
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad)))
     cache = jax.lax.dynamic_update_slice(cache, rows, (0, 0, 0))
     xn = rmsnorm_ref(x, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"], preferred_element_type=jnp.float32)

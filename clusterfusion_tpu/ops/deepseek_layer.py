@@ -60,6 +60,10 @@ def _mla_kernel(
     eps: float,
     softmax_scale: float,
     append: bool = False,
+    mla_pad: int = 0,   # cache minor dim, = round_up(lora+rope, 128): HBM
+                        # tiling demands 128-aligned minor dims for the
+                        # chunk blocks and the append RMW DMA (Mosaic
+                        # rejects e.g. V2's 576); pad columns carry zeros
 ):
     it = iter(refs)
     out_ref = next(it)
@@ -72,6 +76,7 @@ def _mla_kernel(
     n_chunks = pl.num_programs(0) - 1
     seq = s_ref[0]
     mla = lora + rope
+    mla_pad = mla_pad or mla
     f32 = jnp.float32
     scale = softmax_scale * _LOG2E
 
@@ -80,8 +85,9 @@ def _mla_kernel(
     def _():
         x = x_ref[...].astype(f32)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
+        rms_in = rms_in_ref[...].reshape(1, rms_in_ref.shape[-1])
         xn = (x * jax.lax.rsqrt(var + eps)
-              * rms_in_ref[...].astype(f32)).astype(jnp.bfloat16)
+              * rms_in.astype(f32)).astype(jnp.bfloat16)
         # one N-wide dot: [q_nope (h·nope) | q_pe (h·rope) | ckv (lora) | k_pe]
         proj = jnp.dot(xn, wproj_ref[0], preferred_element_type=f32)
         qn_off, qp_off = 0, heads * nope
@@ -93,12 +99,15 @@ def _mla_kernel(
 
         ckv = proj[:, ckv_off:ckv_off + lora]
         cvar = jnp.mean(ckv * ckv, axis=-1, keepdims=True)
-        ckv = ckv * jax.lax.rsqrt(cvar + eps) * rms_ckv_ref[...].astype(f32)
+        rms_ckv = rms_ckv_ref[...].reshape(1, rms_ckv_ref.shape[-1])
+        ckv = ckv * jax.lax.rsqrt(cvar + eps) * rms_ckv.astype(f32)
         k_pe = _rope_vec(proj[:, kpe_off:kpe_off + rope], cos_f, sin_f, "neox")
         ckv_new_ref[0, 0:1, :lora] = ckv.astype(ckv_new_ref.dtype)
         ckv_new_ref[0, 0:1, lora:] = k_pe.astype(ckv_new_ref.dtype)
         cur_s[0:1, :lora] = ckv
-        cur_s[0:1, lora:] = k_pe
+        cur_s[0:1, lora:mla] = k_pe
+        if mla_pad > mla:
+            cur_s[0:1, mla:] = jnp.zeros((1, mla_pad - mla), f32)
 
         # per-head: absorb q_nope through W_UK; q rows = [q_lora | q_pe]
         for h in range(heads):
@@ -108,7 +117,9 @@ def _mla_kernel(
             qp = _rope_vec(proj[:, qp_off + h * rope: qp_off + (h + 1) * rope],
                            cos_f, sin_f, "neox")
             q_s[h:h + 1, :lora] = ql * scale
-            q_s[h:h + 1, lora:] = qp * scale
+            q_s[h:h + 1, lora:mla] = qp * scale
+            if mla_pad > mla:   # zero q pads so garbage cache pads can't score
+                q_s[h:h + 1, mla:] = jnp.zeros((1, mla_pad - mla), f32)
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((heads,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((heads,), f32)
@@ -123,8 +134,8 @@ def _mla_kernel(
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (heads, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
 
-        q = q_s[...].astype(jnp.bfloat16)                    # [heads, mla]
-        kc = cache_ref[0]                                    # [chunk, mla]
+        q = q_s[...].astype(jnp.bfloat16)                    # [heads, mla_pad]
+        kc = cache_ref[0]                                    # [chunk, mla_pad]
         # ckv doubles as V (first lora dims); zero padded rows
         vc = jnp.where(row_valid, kc[:, :lora], 0)
         scores = jax.lax.dot_general(                        # [heads, chunk]
@@ -175,7 +186,7 @@ def _mla_kernel(
             d_in = pltpu.make_async_copy(sl, row_s, row_sem)
             d_in.start()
             d_in.wait()
-            sub = jax.lax.broadcasted_iota(jnp.int32, (8, lora + rope), 0)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, mla_pad), 0)
             row_s[...] = jnp.where(sub == off,
                                    cur_s[0:1, :].astype(row_s.dtype),
                                    row_s[...])
@@ -254,6 +265,15 @@ def deepseek_decoder_layer_fused(
     hidden = input.shape[-1]
     h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
     mla = lora + rope
+    # cache minor dim must be 128-aligned for the kernel's chunk DMA
+    # (V2's 576 is not): pad here (a copy — the parity-op price; the model
+    # path keeps its cache natively padded and never copies)
+    mla_pad = round_up(mla, 128)
+    if ckv_cache.shape[-1] == mla:
+        if mla_pad > mla:
+            ckv_cache = jnp.pad(ckv_cache, ((0, 0), (0, mla_pad - mla)))
+    else:
+        assert ckv_cache.shape[-1] == mla_pad, ckv_cache.shape
     seq = ckv_cache.shape[0]                               # capacity
     dt = input.dtype
     n_proj = wproj.shape[-1]
@@ -282,7 +302,7 @@ def deepseek_decoder_layer_fused(
             pl.BlockSpec((1, h * nope, hidden), lambda c, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, chunk, mla),
+                (1, chunk, mla_pad),
                 lambda c, s: (0, jnp.minimum(
                     jnp.maximum(c - 1, 0),
                     jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
@@ -294,10 +314,10 @@ def deepseek_decoder_layer_fused(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, mla), jnp.float32),      # q = [q_lora | q_pe], scaled
+            pltpu.VMEM((h, mla_pad), jnp.float32),  # q = [q_lora | q_pe], scaled
             pltpu.VMEM((h, lora), jnp.float32),     # softmax acc
             pltpu.VMEM((2, h), jnp.float32),        # running (m, l)
-            pltpu.VMEM((1, mla), jnp.float32),      # current [ckv | k_pe]
+            pltpu.VMEM((1, mla_pad), jnp.float32),  # current [ckv | k_pe]
         ],
     )
 
@@ -305,7 +325,8 @@ def deepseek_decoder_layer_fused(
         softmax_scale = 1.0 / math.sqrt(nope + rope)
     kernel = functools.partial(
         _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
-        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale)
+        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale,
+        mla_pad=mla_pad)
 
     out, ckv_new = pl.pallas_call(
         kernel,
@@ -367,8 +388,14 @@ def deepseek_decoder_stack_layer(
     hidden = input.shape[-1]
     h, nope, rope, lora = n_heads, nope_dim, rope_dim, lora_rank
     mla = lora + rope
+    mla_pad = round_up(mla, 128)
     L, cap = ckv_cache.shape[0], ckv_cache.shape[1]
     assert cap % 8 == 0, cap
+    # the cache is aliased in/out: the CALLER allocates it 128-aligned
+    # (models.deepseek.init_cache) — padding here would copy it per call
+    assert ckv_cache.shape[-1] == mla_pad, \
+        (f"stacked MLA cache minor dim must be round_up(lora+rope, 128)="
+         f"{mla_pad}, got {ckv_cache.shape[-1]}")
     dt = input.dtype
     n_proj = wproj_s.shape[-1]
 
@@ -386,8 +413,11 @@ def deepseek_decoder_stack_layer(
         in_specs=[
             pl.BlockSpec((1, hidden), lambda c, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lmap(0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lora), lmap(0), memory_space=pltpu.VMEM),
+            # [L, 1, d] with (1, 1, d) blocks: a 2-D [L, d] stack with (1, d)
+            # blocks is invalid Mosaic when L % 8 != 0 (the last two BLOCK
+            # dims must divide 8/128 or equal the array dims)
+            pl.BlockSpec((1, 1, hidden), lmap(0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lora), lmap(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rope), lambda c, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rope), lambda c, s: (0, 0),
@@ -401,7 +431,7 @@ def deepseek_decoder_stack_layer(
             pl.BlockSpec((1, h * nope, hidden), lmap(0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, chunk, mla),
+                (1, chunk, mla_pad),
                 lambda c, s: (s[1], jnp.minimum(
                     jnp.maximum(c - 1, 0),
                     jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
@@ -415,11 +445,11 @@ def deepseek_decoder_stack_layer(
             pl.BlockSpec(memory_space=pltpu.ANY),     # aliased cache
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, mla), jnp.float32),
+            pltpu.VMEM((h, mla_pad), jnp.float32),
             pltpu.VMEM((h, lora), jnp.float32),
             pltpu.VMEM((2, h), jnp.float32),
-            pltpu.VMEM((1, mla), jnp.float32),
-            pltpu.VMEM((8, mla), ckv_cache.dtype),    # append RMW tile
+            pltpu.VMEM((1, mla_pad), jnp.float32),
+            pltpu.VMEM((8, mla_pad), ckv_cache.dtype),  # append RMW tile
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -428,7 +458,8 @@ def deepseek_decoder_stack_layer(
         softmax_scale = 1.0 / math.sqrt(nope + rope)
     kernel = functools.partial(
         _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
-        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale, append=True)
+        kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale, append=True,
+        mla_pad=mla_pad)
 
     seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
                          jnp.asarray(layer_id, jnp.int32).reshape(())])
@@ -452,6 +483,6 @@ def deepseek_decoder_stack_layer(
         # tensor inputs; the cache is the last input -> index 10
         input_output_aliases={10: 2},
         interpret=interpret_mode(),
-    )(seq_arr, input, rms_in_s, rms_ckv_s, cos_f, sin_f,
+    )(seq_arr, input, rms_in_s[:, None], rms_ckv_s[:, None], cos_f, sin_f,
       wproj_s, wuk_s, wuv_s, wo_s, ckv_cache)
     return out, cache
