@@ -61,7 +61,7 @@ def _stack_kernel(
     hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
     bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
-    kv_kind: str = "none",
+    kv_kind: str = "none", reduce_axis=None,
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -87,6 +87,8 @@ def _stack_kernel(
      krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
     if kv8:
         ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
+    if reduce_axis is not None:
+        rrecv_s, rsend_sem, rrecv_sem, rack_sem = (next(it) for _ in range(4))
 
     # 1D grid flattened over (layer, phase) + trailing LM-head phases
     TA = G * (nc + 1)
@@ -289,6 +291,17 @@ def _stack_kernel(
     in_ffn = jnp.logical_and(t >= TA, t < T)
     @pl.when(t == TA)
     def _():
+        if reduce_axis is not None:
+            # In-kernel ICI all-reduce of the tp-partial attention output
+            # (the reference's Stage::ATTN DSM reduce, `dsm.cuh:89-169`,
+            # fused into the megakernel): the N-1 remote-DMA hops fly while
+            # the pipeline is already streaming this layer's next w13/w2
+            # blocks from HBM — overlap a between-kernel psum cannot get.
+            from clusterfusion_tpu.parallel.collective import \
+                ring_reduce_scratch
+            ring_reduce_scratch(aout_s, rrecv_s, rsend_sem, rrecv_sem,
+                                rack_sem, reduce_axis,
+                                first=(l == 0), last=False)
         r2 = aout_s[...] + res_s[...]
         res_s[...] = r2
         var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
@@ -328,12 +341,23 @@ def _stack_kernel(
     def _():
         out = ffn_s[...]
         if wq_kind == "int8":
+            # per-output-column scale is identical on every chip, so it
+            # commutes with the cross-chip sum: scale the partial
             out = out * _m2(w2_s_ref)
         hx_s[...] = out
+        if reduce_axis is not None:
+            # Stage::LINEAR reduce of the row-parallel FFN down-projection,
+            # in-kernel: hops overlap the NEXT layer's wqkv block prefetch
+            # (already in flight for grid step t+1).
+            from clusterfusion_tpu.parallel.collective import \
+                ring_reduce_scratch
+            ring_reduce_scratch(hx_s, rrecv_s, rsend_sem, rrecv_sem,
+                                rack_sem, reduce_axis,
+                                first=False, last=(l == L - 1))
 
         @pl.when(l == L - 1)
         def _():
-            hx_out_ref[...] = out.astype(hx_out_ref.dtype)
+            hx_out_ref[...] = hx_s[...].astype(hx_out_ref.dtype)
             res_out_ref[...] = res_s[...].astype(res_out_ref.dtype)
 
     # ---- LM-head phases: final RMSNorm + vocab-blocked logits ---------------
@@ -373,6 +397,7 @@ def fused_decoder_stack(
     interpret=None,
     final_norm=None,
     lm_head=None,
+    reduce_axis=None,
 ):
     """One kernel call for the whole decoder stack (bs=1 decode).
 
@@ -390,6 +415,17 @@ def fused_decoder_stack(
     logits leave the same single kernel call — and the return becomes
     (logits [1, vocab], residual_out, k_cache', v_cache').  The LM weight
     blocks prefetch while the last layers still compute.
+
+    ``reduce_axis``: a shard_map mesh axis name — the TENSOR-PARALLEL mode.
+    Weights/caches enter as the chip's local shard (kv-head-sharded
+    wqkv_f/wo_f/caches, column/row-sharded w13/w2; see
+    parallel.sharding.param_pspecs) and the kernel fuses the two reference
+    reduction points as IN-KERNEL ring all-reduces over ICI remote DMA:
+    Stage::ATTN at the attn→FFN boundary (hops overlap this layer's FFN
+    weight streaming) and Stage::LINEAR at layer exit (hops overlap the
+    next layer's QKV prefetch) — `dsm.cuh:89-169` fused into the megakernel.
+    With ``lm_head`` given it must be the local vocab shard (logits return
+    vocab-sharded).
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -589,14 +625,20 @@ def fused_decoder_stack(
             pltpu.VMEM((hg, 8, 128), jnp.float32),       # K-scale RMW
             pltpu.VMEM((hg, 8, 128), jnp.float32),       # V-scale RMW
             pltpu.SemaphoreType.DMA((2,)),
-        ] if kv8 else []),
+        ] if kv8 else []) + ([
+            pltpu.VMEM((2, 1, hidden), jnp.float32),     # ring ping-pong
+            pltpu.SemaphoreType.DMA(()),                 # ring send
+            pltpu.SemaphoreType.DMA(()),                 # ring recv
+            pltpu.SemaphoreType.REGULAR,                 # ring ack
+        ] if reduce_axis is not None else []),
     )
 
     kernel = functools.partial(
         _stack_kernel, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
-        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none")
+        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none",
+        reduce_axis=reduce_axis)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

@@ -135,8 +135,8 @@ def _ring_all_reduce_kernel(x_ref, out_ref, recv_ref, send_sem, recv_sem,
             dst_ref=recv_ref.at[nslot],
             send_sem=send_sem,
             recv_sem=recv_sem,
-            device_id=dst,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id={axis_name: dst},
+            device_id_type=pltpu.DeviceIdType.MESH,
         )
         rdma.start()
         rdma.wait()
@@ -148,8 +148,8 @@ def _ring_all_reduce_kernel(x_ref, out_ref, recv_ref, send_sem, recv_sem,
         @pl.when(i < n - 2)
         def _():
             pltpu.semaphore_signal(
-                ack_sem, inc=1, device_id=left,
-                device_id_type=pltpu.DeviceIdType.LOGICAL)
+                ack_sem, inc=1, device_id={axis_name: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
 
         return 0
 
@@ -188,8 +188,8 @@ def _ring_all_gather_kernel(x_ref, out_ref, send_sem, recv_sem, ack_sem,
             dst_ref=out_ref.at[pl.ds(src_origin * chunk, chunk)],
             send_sem=send_sem,
             recv_sem=recv_sem,
-            device_id=dst,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id={axis_name: dst},
+            device_id_type=pltpu.DeviceIdType.MESH,
         )
         rdma.start()
         rdma.wait()
@@ -197,8 +197,8 @@ def _ring_all_gather_kernel(x_ref, out_ref, send_sem, recv_sem, ack_sem,
         @pl.when(i < n - 2)
         def _():
             pltpu.semaphore_signal(
-                ack_sem, inc=1, device_id=left,
-                device_id_type=pltpu.DeviceIdType.LOGICAL)
+                ack_sem, inc=1, device_id={axis_name: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
 
         return 0
 
@@ -245,6 +245,90 @@ def _pallas_all_gather(x, axis_name: str, axis_size: int, interpret=None):
             has_side_effects=True, collective_id=1),
         interpret=interpret,
     )(x)
+
+
+def ring_reduce_scratch(buf_ref, recv_ref, send_sem, recv_sem, ack_sem,
+                        axis_name: str, first, last):
+    """Accumulating ring all-reduce of a VMEM *scratch* buffer, for calling
+    INSIDE another Pallas kernel — the device-scope analogue of the
+    reference fusing its DSM reduce into the megakernel's pipeline
+    (`dsm.cuh:89-169` overlapping hops with GEMV stages).  After the call
+    every chip's ``buf_ref`` holds the sum over ``axis_name``.
+
+    The caller embeds this at a phase boundary of a multi-phase kernel; the
+    Pallas pipeline keeps streaming the NEXT phase's weight blocks from HBM
+    while the N-1 ICI hops fly — the overlap the between-kernel ``psum``
+    can never get.
+
+    ``first``/``last`` are traced booleans marking the first/last ring
+    invocation within ONE kernel launch.  They drive the cross-invocation
+    handshake: hop 0 of every invocation after the first waits TWO acks,
+    and the final hop of every invocation except the last signals TWO —
+    proving the receiver finished the previous invocation entirely before
+    anyone writes its ping-pong slots again (with one ack, a chip one full
+    invocation ahead could overwrite the slot its neighbor's final
+    accumulate still reads when N is even).  Per invocation each chip waits
+    and signals (N-2) + 2 semaphore units, so everything drains to zero at
+    kernel exit.  Intra-invocation hops keep the one-hop-skew ack of
+    ``_ring_all_reduce_kernel``.
+
+    buf_ref: [*dims] f32 scratch (reduced in place);
+    recv_ref: [2, *dims] f32 ping-pong scratch;
+    send_sem/recv_sem: DMA semaphores; ack_sem: REGULAR semaphore.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return
+    my = jax.lax.axis_index(axis_name)
+    dst = jax.lax.rem(my + 1, n)
+    left = jax.lax.rem(my - 1 + n, n)
+    first = jnp.asarray(first, jnp.bool_)
+    last = jnp.asarray(last, jnp.bool_)
+
+    recv_ref[0] = buf_ref[...]
+
+    def hop(i, _):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+        waits = jnp.where(i > 0, 1, jnp.where(first, 0, 2))
+
+        @pl.when(waits >= 1)
+        def _():
+            pltpu.semaphore_wait(ack_sem, 1)
+
+        @pl.when(waits == 2)
+        def _():
+            pltpu.semaphore_wait(ack_sem, 1)
+
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=recv_ref.at[slot],
+            dst_ref=recv_ref.at[nslot],
+            send_sem=send_sem,
+            recv_sem=recv_sem,
+            device_id={axis_name: dst},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        rdma.start()
+        rdma.wait()
+        buf_ref[...] += recv_ref[nslot]
+
+        sigs = jnp.where(i < n - 2, 1, jnp.where(last, 0, 2))
+
+        @pl.when(sigs >= 1)
+        def _():
+            pltpu.semaphore_signal(
+                ack_sem, inc=1, device_id={axis_name: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
+
+        @pl.when(sigs == 2)
+        def _():
+            pltpu.semaphore_signal(
+                ack_sem, inc=1, device_id={axis_name: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
+
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, hop, 0)
 
 
 # --------------------------------------------------------------------------

@@ -37,18 +37,33 @@ from clusterfusion_tpu.parallel.sharding import cache_pspec, param_pspecs
 
 
 def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
-                             kcfg: KernelConfig = KernelConfig()):
+                             kcfg: KernelConfig = KernelConfig(),
+                             fused_collectives: bool = False,
+                             interpret=None):
     """Build a jitted tp-sharded fused decode step:
 
     ``step(params, k_cache, v_cache, token, pos) ->
     (logits [vocab], k_cache', v_cache')``
 
     params/caches must be device_put with ``param_shardings``/
-    ``cache_shardings`` of the same mesh."""
+    ``cache_shardings`` of the same mesh.
+
+    ``fused_collectives=True`` runs the whole stack as ONE megakernel per
+    chip with the two reference reduction points fused IN-KERNEL as
+    remote-DMA ring all-reduces (``ops.stack_kernel`` ``reduce_axis``) —
+    the Stage::ATTN hops overlap the layer's FFN weight streaming and the
+    Stage::LINEAR hops overlap the next layer's QKV prefetch, the craft of
+    `dsm.cuh:89-169` at chip scope.  Explicitly opt-in, same policy as the
+    ring backend (collective.py): validated under the interpret simulation
+    with race detection; the default path keeps between-kernel XLA psums.
+    """
     tp = mesh.shape["tp"]
     kv_local = cfg.kv_heads // tp
     g = cfg.n_heads // cfg.kv_heads
     hd = cfg.head_dim_
+
+    if fused_collectives:
+        return _make_fused_collective_decode_step(cfg, mesh, kcfg, interpret)
 
     def local_step(params, k_cache, v_cache, token, pos):
         cos_t, sin_t = model.rope_table(cfg)
@@ -98,6 +113,49 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
         logits = jnp.dot(xn[0], params["lm_head"],
                          preferred_element_type=jnp.float32)
         return logits, k_cache, v_cache           # logits vocab-sharded
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(param_pspecs(cfg, tp), cache_pspec(), cache_pspec(),
+                  P(), P()),
+        out_specs=(P("tp"), cache_pspec(), cache_pspec()),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
+                                       kcfg: KernelConfig, interpret):
+    """One megakernel per chip per token, ICI rings fused in-kernel —
+    see ``make_sharded_decode_step(fused_collectives=True)``."""
+    from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
+    from clusterfusion_tpu.parallel.collective import _interpret
+
+    tp = mesh.shape["tp"]
+    g = cfg.n_heads // cfg.kv_heads
+    hd = cfg.head_dim_
+    interp = interpret if interpret is not None else _interpret()
+
+    def local_step(params, k_cache, v_cache, token, pos):
+        cos_t, sin_t = model.rope_table(cfg)
+        cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (1, hd))
+        sin = jax.lax.dynamic_slice(sin_t, (pos, 0), (1, hd))
+        x = params["embed"][token][None]
+        lw = params["layers"]
+        x_out, res_out, k_cache, v_cache = fused_decoder_stack(
+            x, lw["attn_norm"], lw["ffn_norm"], cos, sin,
+            lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
+            k_cache, v_cache, pos,
+            group=g, head_dim=hd, rope_style=cfg.rope_style,
+            eps=cfg.norm_eps, kcfg=kcfg, interpret=interp,
+            reduce_axis="tp")
+        # x_out/res_out are fully reduced and replicated: the final norm +
+        # vocab-sharded LM head need no further collective
+        xn, _ = fused_add_rmsnorm_ref(x_out, res_out, params["final_norm"],
+                                      cfg.norm_eps)
+        logits = jnp.dot(xn[0], params["lm_head"],
+                         preferred_element_type=jnp.float32)
+        return logits, k_cache, v_cache
 
     step = shard_map(
         local_step, mesh=mesh,

@@ -69,6 +69,67 @@ print("SHARDED_DECODE_OK", err)
     assert "SHARDED_DECODE_OK" in out
 
 
+def test_fused_collective_decode_matches_single_device():
+    """tp fused-collective decode — the whole stack as ONE megakernel per
+    chip with the two reduction points fused IN-KERNEL as remote-DMA rings
+    (`dsm.cuh:89-169` at chip scope) — must match the unsharded fused step.
+    Runs under the interpret simulation with the RACE DETECTOR on, for
+    tp=2 (even ring: exercises the cross-invocation double-ack handshake)
+    and tp=4 (longer ring)."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings,
+                                        make_sharded_decode_step)
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+k_cache, v_cache = model.init_cache(cfg)
+prompt = jnp.arange(20, dtype=jnp.int32) % cfg.vocab_size
+_, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+tok = jnp.asarray(9, jnp.int32)
+pos = jnp.asarray(20, jnp.int32)
+
+ref_logits, ref_k, ref_v = model.decode_step(params, k_cache, v_cache, tok,
+                                             pos, cfg, fused=True)
+detect = pltpu.InterpretParams(detect_races=True)
+
+for tp in (2, 4):
+    mesh = build_mesh(MeshConfig(dp=1, tp=tp, sp=1),
+                      devices=jax.devices()[:tp])
+    sp = shard_params(params, cfg, mesh)
+    kc = jax.device_put(k_cache, cache_shardings(mesh))
+    vc = jax.device_put(v_cache, cache_shardings(mesh))
+    step = make_sharded_decode_step(cfg, mesh, fused_collectives=True,
+                                    interpret=detect)
+    logits, kc, vc = step(sp, kc, vc, tok, pos)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               atol=0.05, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(kc, np.float32),
+                               np.asarray(ref_k, np.float32), atol=0.05)
+    # a second token proves the in-kernel append landed on every chip and
+    # re-enters the rings a second time (semaphores drained to zero)
+    logits2, kc, vc = step(sp, kc, vc,
+                           jnp.asarray(4, jnp.int32), jnp.asarray(21, jnp.int32))
+    ref2, _, _ = model.decode_step(params, ref_k, ref_v,
+                                   jnp.asarray(4, jnp.int32),
+                                   jnp.asarray(21, jnp.int32), cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               atol=0.05, rtol=0.02)
+    print(f"fused-collective decode ok tp={tp}")
+print("FUSED_COLLECTIVE_OK")
+"""
+    out = _run_cpu(code)
+    assert "FUSED_COLLECTIVE_OK" in out
+    assert "RACE DETECTED" not in out
+
+
 def test_sp_sharded_decode_matches_single_device():
     """(tp=2, sp=2) and (tp=1, sp=4) sequence-parallel fused decode must
     match the unsharded fused step: KV sharded over sp, per-chip softmax
