@@ -264,11 +264,16 @@ def _synth_quant_params(cfg, kind: str):
     layers["ffn_norm"] = jnp.ones((L, h), bf)
     inv = jnp.asarray(1.0 / np.sqrt(h), bf)   # bf16 scalar: a numpy f64
     # scalar would silently promote these to f32 (2x HBM + VMEM blowups)
+    # LM head: per-output-column int8 (rides the quantized operating point
+    # — the bf16 LM head alone is ~0.26 GB/token of the decode stream)
+    rng_lm = np.random.RandomState(99)
+    lm_q = jnp.asarray(rng_lm.randint(-127, 128, size=(h, V), dtype=np.int8))
+    lm_s = jnp.full((1, V), 1.0 / (127.0 * np.sqrt(h)), jnp.float32)
     return {
         "embed": jax.random.normal(ks[0], (V, h), bf) * inv,
         "layers": layers,
         "final_norm": jnp.ones((h,), bf),
-        "lm_head": jax.random.normal(ks[1], (h, V), bf) * inv,
+        "lm_head": QuantizedTensor(lm_q, lm_s, "int8", -2, 0, -2),
     }
 
 
@@ -293,20 +298,30 @@ def main():
     # fp16-only reference): ordered before the bf16 model so HBM never has
     # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
-    serving_tps = serving_fused_tps = int8kv_tps = None
+    kv8_tps = {}
+    serving_tps = serving_fused_tps = kv8_4k_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
             jax.block_until_ready(qparams["embed"])
             quant_tps[kind] = _time_decode(qparams, cfg, n_gen, fused=True)
-            if kind == "int8":
+            try:
+                # the 8-bit-KV operating points: quantized weights + int8 KV
+                # (the TPU-native 8-bit cache; see ops.quant.Int8KV) —
+                # int4+int8kv is the minimum-HBM-bytes decode config
+                kv8_tps[kind] = _time_decode(qparams, cfg, n_gen,
+                                             fused=True, kv_dtype="int8")
+            except Exception as e:  # pragma: no cover
+                print(f"# {kind}+int8kv bench failed: {e!r}", flush=True)
+            if kind == "int8" and not small:
                 try:
-                    # the 8-bit-KV operating point: int8 weights + int8 KV
-                    # (the TPU-native 8-bit cache; see ops.quant.Int8KV)
-                    int8kv_tps = _time_decode(qparams, cfg, n_gen,
+                    # north-star configs[2]: int8 weights + 8-bit KV, 4K ctx
+                    import dataclasses
+                    cfg4k = dataclasses.replace(cfg, max_seq_len=4096)
+                    kv8_4k_tps = _time_decode(qparams, cfg4k, n_gen,
                                               fused=True, kv_dtype="int8")
                 except Exception as e:  # pragma: no cover
-                    print(f"# int8kv bench failed: {e!r}", flush=True)
+                    print(f"# int8+int8kv 4K bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     serving_tps = _time_serving(qparams, cfg, B=8)
@@ -339,6 +354,9 @@ def main():
     for kind, tps in quant_tps.items():
         if tps:
             candidates[kind] = tps
+    for kind, tps in kv8_tps.items():
+        if tps:
+            candidates[f"{kind}+int8kv"] = tps
     best_cfg = max(candidates, key=candidates.get)
     best = candidates[best_cfg]
     print(json.dumps({
@@ -363,8 +381,12 @@ def main():
         if serving_tps else None,
         "serving_fused_int8_b8_tokens_per_s": round(serving_fused_tps, 1)
         if serving_fused_tps else None,
-        "int8_int8kv_tokens_per_s": round(int8kv_tps, 2)
-        if int8kv_tps else None,
+        "int8_int8kv_tokens_per_s": round(kv8_tps["int8"], 2)
+        if kv8_tps.get("int8") else None,
+        "int4_int8kv_tokens_per_s": round(kv8_tps["int4"], 2)
+        if kv8_tps.get("int4") else None,
+        "int8_int8kv_4kctx_tokens_per_s": round(kv8_4k_tps, 2)
+        if kv8_4k_tps else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -111,8 +111,12 @@ def score_ppl(params, cfg: LlamaConfig, toks: np.ndarray,
     return float(np.exp(-total / count))
 
 
-def operating_points(params, gs: int = 64):
-    """(name, params, kcfg, kv_dtype) per north-star config."""
+def operating_points(params, gs: int = 128):
+    """(name, params, kcfg, kv_dtype) per north-star config.
+
+    gs=128 default: lane-aligned, so "int4_w4a8" points exercise the real
+    int8-MXU fast path (gs<128 falls back to the exact bf16 dequant — the
+    fine-grouped exact path is what "int4_g32" measures)."""
     from clusterfusion_tpu.ops.quant import quantize_llama_params
     p8 = quantize_llama_params(params, "int8")
     p4 = quantize_llama_params(params, "int4", gs)
@@ -126,6 +130,10 @@ def operating_points(params, gs: int = 64):
         ("int8+fp8kv", p8, KernelConfig(), jnp.float8_e4m3fn),
         ("int8+int8kv", p8, KernelConfig(), "int8"),
         ("int4_w4a8+int8kv", p4, KernelConfig(int4_w4a8=True), "int8"),
+        # the full production point: int4 W4A8 weights, int8 KV, int8 LM head
+        ("int4_w4a8+int8kv+lm8",
+         quantize_llama_params(params, "int4", gs, lm_head=True),
+         KernelConfig(int4_w4a8=True), "int8"),
     ]
     return pts
 

@@ -131,6 +131,16 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
     return params
 
 
+def _lm_logits(xn, lm):
+    """LM-head projection accepting a bf16 matrix or a per-column-int8
+    QuantizedTensor (dequant commutes with the dot: scale the logits)."""
+    if isinstance(lm, QuantizedTensor):
+        y = jnp.dot(xn, lm.q.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return y * lm.s.reshape(-1)     # [V] broadcast: keeps y's rank
+    return jnp.dot(xn, lm, preferred_element_type=jnp.float32)
+
+
 def rope_table(cfg: LlamaConfig, max_pos: Optional[int] = None):
     """Full-dim (cos, sin) tables [max_pos, head_dim] in the layout the
     megakernel consumes for cfg.rope_style."""
@@ -314,7 +324,7 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
     k_cache = _cache_fill(k_cache, k_new, pos0)
     v_cache = _cache_fill(v_cache, v_new, pos0)
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
-    logits = jnp.dot(xn[0], params["lm_head"], preferred_element_type=jnp.float32)
+    logits = _lm_logits(xn[0], params["lm_head"])
     return logits, k_cache, v_cache
 
 
@@ -370,7 +380,7 @@ def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
 
     h, _ = jax.lax.scan(layer, h, params["layers"])
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
-    return jnp.dot(xn, params["lm_head"], preferred_element_type=jnp.float32)
+    return _lm_logits(xn, params["lm_head"])
 
 
 # --------------------------------------------------------------------------
@@ -515,12 +525,12 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
             (params["layers"], layer_idx))
 
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"], cfg.norm_eps)
-    if fused and cfg.vocab_size % 128 == 0:
-        logits = gemv(xn.astype(jnp.bfloat16), params["lm_head"],
+    lm = params["lm_head"]
+    if fused and cfg.vocab_size % 128 == 0 and not isinstance(lm, QuantizedTensor):
+        logits = gemv(xn.astype(jnp.bfloat16), lm,
                       interpret=interpret_mode())[0]
     else:
-        logits = jnp.dot(xn[0], params["lm_head"],
-                         preferred_element_type=jnp.float32)
+        logits = _lm_logits(xn[0], lm)
     return logits, k_cache, v_cache
 
 

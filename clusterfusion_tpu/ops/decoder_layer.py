@@ -86,7 +86,10 @@ def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool, unpack_axis: int = 0):
     """INT4 fused-dequant matmul for the megakernels: W4A8 int8-MXU fast
     path (``KernelConfig.int4_w4a8``, default) or the exact bf16 tile
     dequant.  ``x`` is [M, K] bf16; returns f32 [M, N]."""
-    if w4a8:
+    if w4a8 and gs % 128 == 0:
+        # Mosaic lane-legality: the grouped reshape [M, K] -> [(ng,)M, gs]
+        # needs the minor (lane) dim gs to be a multiple of 128; smaller
+        # group sizes fall through to the exact bf16 dequant below.
         from clusterfusion_tpu.ops.quant import w4a8_int4_dot
         return w4a8_int4_dot(x, w_val, s_val.astype(jnp.float32), gs,
                              unpack_axis=unpack_axis)
@@ -384,8 +387,12 @@ def _fused_decoder_layer(
     if isinstance(wqkv_f, QuantizedTensor):
         assert isinstance(wo_f, QuantizedTensor) and wo_f.kind == wqkv_f.kind
         wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
-        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
-        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
+        # int4 group scales are streamed bf16 (they're 8/gs of the packed
+        # bytes — f32 wastes ~3% of the weight stream; kernels cast after
+        # load).  int8 per-column scales are [1, N] (negligible): keep f32.
+        sdt = jnp.bfloat16 if wq_kind == "int4" else jnp.float32
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(sdt)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(sdt)
         wshape = wqkv_f.shape
     else:
         wshape = wqkv_f.shape
@@ -482,8 +489,8 @@ def _fused_decoder_layer(
         if append_kv:
             # whole-array HBM refs: the kernel DMAs the new row in itself
             out_specs = out_specs + (
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -442,7 +442,7 @@ def deepseek_decoder_stack_layer(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, mla), lambda c, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # aliased cache
+            pl.BlockSpec(memory_space=pl.ANY),     # aliased cache
         ),
         scratch_shapes=[
             pltpu.VMEM((h, mla_pad), jnp.float32),

@@ -158,8 +158,9 @@ def fused_ffn(x, residual, norm_w, w13, w2,
     if isinstance(w13, QuantizedTensor):
         assert isinstance(w2, QuantizedTensor) and w2.kind == w13.kind
         wq_kind, gs_q = w13.kind, w13.group_size
-        w13_s = w13.s.astype(jnp.float32)
-        w2_s = w2.s.astype(jnp.float32)
+        sdt = jnp.bfloat16 if w13.kind == "int4" else jnp.float32
+        w13_s = w13.s.astype(sdt)
+        w2_s = w2.s.astype(sdt)
         stacked = len(w2.shape) == 3
         f_pad = w2.shape[-2]
         w13, w2 = w13.q, w2.q

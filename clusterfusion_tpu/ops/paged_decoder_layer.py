@@ -238,8 +238,9 @@ def llama_decoder_layer_paged(
     if isinstance(wqkv_g, QuantizedTensor):
         assert isinstance(wo_g, QuantizedTensor) and wo_g.kind == wqkv_g.kind
         wq_kind, gs_q = wqkv_g.kind, wqkv_g.group_size
-        wqkv_s = wqkv_g.s.astype(jnp.float32)
-        wo_s = wo_g.s.astype(jnp.float32)
+        sdt = jnp.bfloat16 if wqkv_g.kind == "int4" else jnp.float32
+        wqkv_s = wqkv_g.s.astype(sdt)
+        wo_s = wo_g.s.astype(sdt)
         wshape = wqkv_g.shape
         wqkv_g, wo_g = wqkv_g.q, wo_g.q
     else:
@@ -635,8 +636,8 @@ def paged_attention(
             pl.BlockSpec((1, 1, kv_heads * group * hd),
                          lambda b, c, *s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((kv_heads * group, hd), jnp.float32),

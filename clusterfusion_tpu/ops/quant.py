@@ -175,6 +175,12 @@ def quantize_int4(w: jnp.ndarray, axis: int, group_size: int = 128,
     grp = wf.reshape(K // group_size, group_size, *wf.shape[1:])
     amax = jnp.max(jnp.abs(grp), axis=1)                   # [K/gs, ...]
     s = jnp.maximum(amax, 1e-8) / 7.0
+    # group scales stream through the kernels as bf16 (they're 8/gs of the
+    # packed bytes — f32 would waste ~3% of the weight stream), so round s
+    # to bf16 BEFORE computing the codes: the (code, streamed-scale) pair
+    # is then exactly the one chosen here and the bf16 rounding costs no
+    # accuracy (codes re-optimize against the rounded scale).
+    s = s.astype(jnp.bfloat16).astype(jnp.float32)
     s_rep = jnp.repeat(s, group_size, axis=0)              # [K, ...]
     q = jnp.clip(jnp.round(wf / s_rep), -7, 7).astype(jnp.int32)
     q = jnp.moveaxis(q, 0, axis)
@@ -229,6 +235,9 @@ def w4a8_int4_dot(x: jnp.ndarray, packed: jnp.ndarray, s: jnp.ndarray,
     This is the TPU analogue of the reference's in-register dequant feeding
     wgmma (`kernel.cuh:141-267`), with the group-scale algebra moved past
     the MXU so dequant commutes with the dot like the INT8 path."""
+    assert gs % 128 == 0, (
+        f"w4a8_int4_dot needs a lane-aligned group size (multiple of 128), "
+        f"got {gs} — callers gate on this and fall back to the exact path")
     p32 = packed.astype(jnp.int32)
     lo = (((p32 & 15) ^ 8) - 8).astype(jnp.int8)
     hi = jnp.right_shift(p32, 4).astype(jnp.int8)
@@ -282,10 +291,15 @@ _WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
 
 
 def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,
-                          targets=("wqkv_f", "wo_f", "w13", "w2")):
+                          targets=("wqkv_f", "wo_f", "w13", "w2"),
+                          lm_head: bool = False):
     """Quantize the per-layer projection weights of a Llama param tree
-    (embed / norms / lm_head stay bf16, standard weight-only practice).
-    Works on both stacked [L, ...] trees and single-layer trees."""
+    (embed / norms stay bf16, standard weight-only practice).  Works on
+    both stacked [L, ...] trees and single-layer trees.
+
+    ``lm_head=True`` also quantizes the LM head per-output-column INT8
+    (regardless of ``kind`` — the [hidden, V] matrix has no grouped-int4
+    kernel path and per-column int8 already halves its stream)."""
     layers = dict(params["layers"])
     for name in targets:
         w = layers[name]
@@ -295,6 +309,8 @@ def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,
         layers[name] = quantize(w, kind, axis, group_size, pack_axis)
     out = dict(params)
     out["layers"] = layers
+    if lm_head and not isinstance(out["lm_head"], QuantizedTensor):
+        out["lm_head"] = quantize_int8(out["lm_head"], axis=-2)
     return out
 
 

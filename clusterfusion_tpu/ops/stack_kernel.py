@@ -61,7 +61,7 @@ def _stack_kernel(
     hg: int, group: int, head_dim: int, kv_chunk: int, nc: int, G: int,
     bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
-    kv_kind: str = "none", reduce_axis=None,
+    kv_kind: str = "none", reduce_axis=None, lm_kind: str = "none",
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -77,6 +77,7 @@ def _stack_kernel(
     if with_lm:
         fnorm_ref = next(it)
         lm_ref = next(it)
+        lms_ref = next(it) if lm_kind == "int8" else None
     k_ref, v_ref = next(it), next(it)
     ks_ref, vs_ref = (next(it), next(it)) if kv8 else (None, None)
     hx_out_ref, res_out_ref = next(it), next(it)
@@ -235,7 +236,7 @@ def _stack_kernel(
                 # the scores; V scales fold into p before the p·V dot.  The
                 # int8→bf16 cast above is the native VPU convert (unlike
                 # fp8's software convert) — the whole point of this format.
-                rb = max(kv_chunk // 128, 1)
+                rb = ks_ref.shape[-2]      # plane rows in this block
                 skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 scores = scores * skf
@@ -372,8 +373,16 @@ def _stack_kernel(
         @pl.when(t >= T)
         def _():
             xn = xnorm_s[...].astype(jnp.bfloat16)
-            logits_ref[...] = jnp.dot(xn, lm_ref[...],
-                                      preferred_element_type=f32)
+            if lm_kind == "int8":
+                # per-output-column int8 LM head: dequant commutes with the
+                # dot, scale the [1, bv] logits block (halves the 0.26 GB
+                # bf16 LM-head stream at 7B — ~4% of int4 decode bytes)
+                logits_ref[...] = jnp.dot(
+                    xn, lm_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=f32) * lms_ref[...]
+            else:
+                logits_ref[...] = jnp.dot(xn, lm_ref[...],
+                                          preferred_element_type=f32)
 
 
 def _vocab_block(V: int, target: int = 1024) -> int:
@@ -445,10 +454,13 @@ def fused_decoder_stack(
     wqkv_q = wqkv_s = wo_q = wo_s = w13_q = w13_s = w2_q = w2_s = None
     if isinstance(wqkv_f, QuantizedTensor):
         wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
-        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
-        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
-        w13_q, w13_s = w13.q, w13.s.astype(jnp.float32)
-        w2_q, w2_s = w2.q, w2.s.astype(jnp.float32)
+        # int4 group scales stream bf16 (~3% of the weight stream saved;
+        # kernels cast after load); int8 per-column scales stay f32
+        sdt = jnp.bfloat16 if wqkv_f.kind == "int4" else jnp.float32
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(sdt)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(sdt)
+        w13_q, w13_s = w13.q, w13.s.astype(sdt)
+        w2_q, w2_s = w2.q, w2.s.astype(sdt)
         G = wqkv_f.shape[1]
         qkv_cols = wqkv_f.shape[-1]
         f_pad = w2.shape[-2]
@@ -467,6 +479,12 @@ def fused_decoder_stack(
         # plane rows (or the single-chunk small-cap case)
         assert cap % 128 == 0 or cap <= 128, \
             f"int8 KV capacity must be 128-aligned (or <=128), got {cap}"
+        # Mosaic: a scale-plane BLOCK's sublane dim (chunk/128 rows) must
+        # be a multiple of 8 or equal the whole plane.  cap <= 1024: one
+        # chunk covering the cache (the scale spec then fetches the full
+        # plane).  Larger caps: chunk rounds up to a multiple of 1024
+        # (8 plane rows per chunk) — kv_chunk < 1024 would not compile.
+        chunk = cap if cap <= 1024 else round_up(chunk, 1024)
         assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
     nc = max(cdiv(cap, chunk), 1)
     bf = ffn_block_size(f_pad)
@@ -475,8 +493,15 @@ def fused_decoder_stack(
     T = TA + nb
 
     with_lm = lm_head is not None
+    lm_kind = "none"
+    lm_q = lm_head
+    lm_s = None
+    if with_lm and isinstance(lm_head, QuantizedTensor):
+        assert lm_head.kind == "int8", "LM head supports int8 only"
+        lm_kind = "int8"
+        lm_q, lm_s = lm_head.q, lm_head.s.astype(jnp.float32)  # [1, V]
     if with_lm:
-        V = lm_head.shape[-1]
+        V = lm_q.shape[-1]
         bv = _vocab_block(V)
         assert bv > 0, f"vocab {V} has no lane-aligned block <= 2048"
         nv = V // bv
@@ -568,16 +593,20 @@ def fused_decoder_stack(
         add(final_norm.reshape(1, hidden),
             pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
                          memory_space=pltpu.VMEM))
-        add(lm_head, pl.BlockSpec((hidden, bv),
-                                  lambda ta, s: (0, jv_of(ta)),
-                                  memory_space=pltpu.VMEM))
+        add(lm_q, pl.BlockSpec((hidden, bv),
+                               lambda ta, s: (0, jv_of(ta)),
+                               memory_space=pltpu.VMEM))
+        if lm_kind == "int8":
+            add(lm_s, pl.BlockSpec((1, bv), lambda ta, s: (0, jv_of(ta)),
+                                   memory_space=pltpu.VMEM))
     k_alias_idx = 1 + len(inputs)
     add(k_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                             memory_space=pltpu.VMEM))
     add(v_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                             memory_space=pltpu.VMEM))
     if kv8:
-        rb = max(chunk // 128, 1)
+        # full plane when single-chunk (cap <= 1024), else chunk/128 rows
+        rb = ks_arr.shape[-2] if chunk == cap else chunk // 128
         s_spec = pl.BlockSpec((1, hg, rb, 128), kv_index_map,
                               memory_space=pltpu.VMEM)
         add(ks_arr, s_spec)
@@ -594,13 +623,13 @@ def fused_decoder_stack(
                                       lambda ta, s: (0, jv_of(ta)),
                                       memory_space=pltpu.VMEM))
     out_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     if kv8:
         out_specs += [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -638,7 +667,7 @@ def fused_decoder_stack(
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none",
-        reduce_axis=reduce_axis)
+        reduce_axis=reduce_axis, lm_kind=lm_kind)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

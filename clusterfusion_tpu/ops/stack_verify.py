@@ -60,6 +60,7 @@ def _verify_kernel(
     G: int, bf: int, nb: int, hidden: int, L: int, nv: int, Wr: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int,
     w4a8: bool = True, kv_kind: str = "none", Sr: int = 8,
+    lm_kind: str = "none",
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -75,6 +76,7 @@ def _verify_kernel(
     if with_lm:
         fnorm_ref = next(it)
         lm_ref = next(it)
+        lms_ref = next(it) if lm_kind == "int8" else None
     k_ref, v_ref = next(it), next(it)
     ks_ref, vs_ref = (next(it), next(it)) if kv8 else (None, None)
     hx_out_ref, res_out_ref = next(it), next(it)
@@ -231,7 +233,7 @@ def _verify_kernel(
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             if kv8:
-                rb = max(kv_chunk // 128, 1)
+                rb = ks_ref.shape[-2]      # plane rows in this block
                 skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 scores = scores * skf
@@ -353,6 +355,11 @@ def _verify_kernel(
         @pl.when(t >= T)
         def _():
             xn = xnorm_s[...].astype(jnp.bfloat16)
+            if lm_kind == "int8":
+                logits_ref[...] = jnp.dot(
+                    xn, lm_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=f32) * lms_ref[...]
+                return
             logits_ref[...] = jnp.dot(xn, lm_ref[...],
                                       preferred_element_type=f32)
 
@@ -397,10 +404,11 @@ def fused_verify_stack(
     wq_kind, gs_q = "none", 0
     if isinstance(wqkv_f, QuantizedTensor):
         wq_kind, gs_q = wqkv_f.kind, wqkv_f.group_size
-        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(jnp.float32)
-        wo_q, wo_s = wo_f.q, wo_f.s.astype(jnp.float32)
-        w13_q, w13_s = w13.q, w13.s.astype(jnp.float32)
-        w2_q, w2_s = w2.q, w2.s.astype(jnp.float32)
+        sdt = jnp.bfloat16 if wqkv_f.kind == "int4" else jnp.float32
+        wqkv_q, wqkv_s = wqkv_f.q, wqkv_f.s.astype(sdt)
+        wo_q, wo_s = wo_f.q, wo_f.s.astype(sdt)
+        w13_q, w13_s = w13.q, w13.s.astype(sdt)
+        w2_q, w2_s = w2.q, w2.s.astype(sdt)
         G = wqkv_f.shape[1]
         qkv_cols = wqkv_f.shape[-1]
         f_pad = w2.shape[-2]
@@ -418,6 +426,12 @@ def fused_verify_stack(
     if kv8:
         assert cap % 128 == 0 or cap <= 128, \
             f"int8 KV capacity must be 128-aligned (or <=128), got {cap}"
+        # Mosaic: a scale-plane BLOCK's sublane dim (chunk/128 rows) must
+        # be a multiple of 8 or equal the whole plane.  cap <= 1024: one
+        # chunk covering the cache (the scale spec then fetches the full
+        # plane).  Larger caps: chunk rounds up to a multiple of 1024
+        # (8 plane rows per chunk) — kv_chunk < 1024 would not compile.
+        chunk = cap if cap <= 1024 else round_up(chunk, 1024)
         assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
     Sr = 16 if (kv8 and ks_arr.shape[2] >= 16) else 8
     nc = max(cdiv(cap, chunk), 1)
@@ -427,8 +441,14 @@ def fused_verify_stack(
     T = TA + nb
 
     with_lm = lm_head is not None
+    lm_kind = "none"
+    lm_q, lm_s = lm_head, None
+    if with_lm and isinstance(lm_head, QuantizedTensor):
+        assert lm_head.kind == "int8", "LM head supports int8 only"
+        lm_kind = "int8"
+        lm_q, lm_s = lm_head.q, lm_head.s.astype(jnp.float32)
     if with_lm:
-        V = lm_head.shape[-1]
+        V = lm_q.shape[-1]
         bv = _vocab_block(V)
         assert bv > 0, f"vocab {V} has no lane-aligned block <= 2048"
         nv = V // bv
@@ -513,16 +533,20 @@ def fused_verify_stack(
         add(final_norm.reshape(1, hidden),
             pl.BlockSpec((1, hidden), lambda ta, s: (0, 0),
                          memory_space=pltpu.VMEM))
-        add(lm_head, pl.BlockSpec((hidden, bv),
-                                  lambda ta, s: (0, jv_of(ta)),
-                                  memory_space=pltpu.VMEM))
+        add(lm_q, pl.BlockSpec((hidden, bv),
+                               lambda ta, s: (0, jv_of(ta)),
+                               memory_space=pltpu.VMEM))
+        if lm_kind == "int8":
+            add(lm_s, pl.BlockSpec((1, bv), lambda ta, s: (0, jv_of(ta)),
+                                   memory_space=pltpu.VMEM))
     k_alias_idx = 1 + len(inputs)
     add(k_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                             memory_space=pltpu.VMEM))
     add(v_arr, pl.BlockSpec((1, hg, chunk, hd), kv_index_map,
                             memory_space=pltpu.VMEM))
     if kv8:
-        rb = max(chunk // 128, 1)
+        # full plane when single-chunk (cap <= 1024), else chunk/128 rows
+        rb = ks_arr.shape[-2] if chunk == cap else chunk // 128
         s_spec = pl.BlockSpec((1, hg, rb, 128), kv_index_map,
                               memory_space=pltpu.VMEM)
         add(ks_arr, s_spec)
@@ -539,13 +563,13 @@ def fused_verify_stack(
                                       lambda ta, s: (0, jv_of(ta)),
                                       memory_space=pltpu.VMEM))
     out_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     if kv8:
         out_specs += [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -577,7 +601,8 @@ def fused_verify_stack(
         _verify_kernel, n=n, hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv, Wr=Wr,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
-        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none", Sr=Sr)
+        w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none", Sr=Sr,
+        lm_kind=lm_kind)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

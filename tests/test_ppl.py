@@ -31,7 +31,9 @@ def test_quantized_ppl_within_north_star_delta(trained, point):
     if point == "int8":
         p = quantize_llama_params(params, "int8")
     elif point == "int4_w4a8":
-        p = quantize_llama_params(params, "int4", 64)
+        # gs=128: lane-aligned so the W4A8 int8-MXU fast path really runs
+        # (gs<128 silently falls back to the exact bf16 dequant)
+        p = quantize_llama_params(params, "int4", 128)
         kcfg = KernelConfig(int4_w4a8=True)
     else:
         p = quantize_llama_params(params, "int8")

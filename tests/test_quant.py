@@ -207,3 +207,30 @@ def test_engine_quantized_generation():
                                     temperature=0.0))
     assert len(toks) == 4
     assert all(0 <= t < CFG.vocab_size for t in toks)
+
+
+def test_int8_lm_head():
+    """Per-column int8 LM head: fused (in-kernel LM phases) and eager paths
+    both consume the QuantizedTensor; logits must match the bf16 LM head to
+    int8 rounding, and fused must match eager on the same quantized head."""
+    params = _params()
+    qp = quantize_llama_params(params, "int8", 128, lm_head=True)
+    kc, vc = model.init_cache(CFG)
+    tok = jnp.asarray(3, jnp.int32)
+    pos = jnp.asarray(0, jnp.int32)
+
+    lf, _, _ = model.decode_step(qp, kc, vc, tok, pos, CFG, fused=True)
+    le, _, _ = model.decode_step(qp, kc, vc, tok, pos, CFG, fused=False)
+    np.testing.assert_allclose(np.asarray(lf, np.float32),
+                               np.asarray(le, np.float32),
+                               atol=0.12, rtol=0.05)
+
+    # vs the bf16 head on otherwise-identical int8 weights
+    qp_bf = quantize_llama_params(params, "int8", 128, lm_head=False)
+    lb, _, _ = model.decode_step(qp_bf, kc, vc, tok, pos, CFG, fused=True)
+    a, b = np.asarray(lf, np.float32), np.asarray(lb, np.float32)
+    scale = max(float(np.max(np.abs(b))), 1.0)
+    assert np.max(np.abs(a - b)) < 0.02 * scale
+    # prefill path consumes the quantized head too
+    lg, _, _ = model.prefill(qp, kc, vc, jnp.arange(4, dtype=jnp.int32), CFG)
+    assert np.all(np.isfinite(np.asarray(lg, np.float32)))
