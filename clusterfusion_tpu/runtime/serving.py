@@ -44,6 +44,14 @@ from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
 from clusterfusion_tpu.runtime.native import PagedKVScheduler
 
 
+class EngineHealthError(RuntimeError):
+    """The decode step itself is broken (every live row failing the numeric
+    watchdog for several consecutive steps) — not a per-request fault.
+    Raised so the caller can fail over / restart rather than spin emitting
+    garbage.  Failure-detection layer the reference lacks (SURVEY §5: it
+    ignores even CUresult, `llama_kernel_dispatch.cu:48`)."""
+
+
 @dataclasses.dataclass
 class _Req:
     id: int
@@ -54,6 +62,9 @@ class _Req:
     cur_token: int = -1            # token to feed at the next step
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # set when the request was killed by the failure detector (numeric
+    # watchdog / prefill exception); partial output stays readable
+    error: Optional[str] = None
     want_logprobs: bool = False
     # logprob of generated[i] (natural log, reference parity)
     logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -282,6 +293,10 @@ class ServingEngine:
                          else "batched")
         assert step_impl in ("batched", "fused")
         self._step = _jitted_step(step_impl, cfg, kcfg)
+        # failure detection (SURVEY §5): consecutive fully-failed steps
+        # before the engine declares itself unhealthy
+        self._bad_steps = 0
+        self.max_bad_steps = 3
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -387,6 +402,15 @@ class ServingEngine:
                 last_logits[None], jnp.asarray([tok], jnp.int32))[0]))
         self._maybe_finish(req)
 
+    def _fail(self, req: _Req, msg: str) -> None:
+        """Kill ONE request (numeric fault / prefill exception): evict it,
+        keep its partial output + error readable, keep the engine serving.
+        The reference has no failure story at all (SURVEY §5)."""
+        req.error = msg
+        if not req.done:
+            req.done = True
+            self.sched.release(req.id)
+
     def _maybe_finish(self, req: _Req) -> None:
         hit_eos = self.eos_id is not None and req.generated \
             and req.generated[-1] == self.eos_id
@@ -410,7 +434,14 @@ class ServingEngine:
 
         for b in range(B):
             if fresh[b]:
-                self._prefill_into_pool(self._reqs[int(ids[b])])
+                req = self._reqs[int(ids[b])]
+                try:
+                    self._prefill_into_pool(req)
+                except Exception as e:
+                    # per-request fault isolation: a failing prefill kills
+                    # only this request (done+error, pages released); the
+                    # stale-batch rebuild below re-prepares without it
+                    self._fail(req, f"prefill: {type(e).__name__}: {e}")
         # prefill may have finished a fresh request (eos / max_gen_len=1 at
         # the first sampled token) and released its pages — the prepared
         # batch is stale; discard it (no lengths advance) and rebuild
@@ -456,14 +487,36 @@ class ServingEngine:
         lp = np.asarray(jax.device_get(lp))
         self.sched.commit_batch()
 
+        bad = 0
         for b in range(B):
             req = self._reqs[int(ids[b])]
             tok = int(nxt[b])
+            lpb = float(lp[b])
+            # numeric watchdog: an out-of-range token or non-finite
+            # logprob means this row's logits were NaN/inf (numeric fault
+            # in weights, cache, or kernel) — evict the request instead of
+            # silently committing garbage into its output and KV pages
+            if not (0 <= tok < self.cfg.vocab_size) or not np.isfinite(lpb):
+                self._fail(req, f"numeric watchdog: token={tok} "
+                                f"logprob={lpb}")
+                bad += 1
+                continue
             req.cur_token = tok
             req.generated.append(tok)
             if req.want_logprobs:
-                req.logprobs.append(float(lp[b]))
+                req.logprobs.append(lpb)
             self._maybe_finish(req)
+        # engine breaker: every live row failing for several consecutive
+        # steps is a step-level fault (bad params / broken kernel), not a
+        # request-level one — stop instead of spinning
+        if B > 0 and bad == B:
+            self._bad_steps += 1
+            if self._bad_steps >= self.max_bad_steps:
+                raise EngineHealthError(
+                    f"all {B} rows failed the numeric watchdog for "
+                    f"{self._bad_steps} consecutive steps")
+        else:
+            self._bad_steps = 0
         return True
 
     def cancel(self, req_id: int) -> List[int]:
@@ -483,6 +536,8 @@ class ServingEngine:
             "total_pages": self.sched.num_pages - 1,   # page 0 reserved
             "requests": self.sched.num_requests,
             "active": sum(1 for r in self._reqs.values() if not r.done),
+            "failed": sum(1 for r in self._reqs.values()
+                          if r.error is not None),
         }
 
     def run(self) -> Dict[int, List[int]]:
