@@ -16,3 +16,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: tunneled Mosaic compiles dominate suite
+# wall-clock (~20-40 s each, first run); cache them to disk so reruns are
+# seconds.  Cache entries key on HLO + compile flags, so correctness is
+# unaffected.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

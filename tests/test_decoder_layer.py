@@ -48,7 +48,7 @@ def _make_inputs(key, seqlen, hidden=HIDDEN, dtype=jnp.bfloat16):
     )
 
 
-@pytest.mark.parametrize("seqlen", [1, 37, 256, 1024])
+@pytest.mark.parametrize("seqlen", [1, 37, 256, 1024, 4096])
 def test_sglang_variant_matches_oracle(seqlen):
     d = _make_inputs(jax.random.PRNGKey(seqlen), seqlen)
     angle = jax.random.uniform(jax.random.PRNGKey(99), (HEAD_DIM // 2,),
