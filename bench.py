@@ -26,6 +26,13 @@ import json
 import os
 import time
 
+# Persistent compilation cache (same dir as tests/conftest.py): tunneled
+# Mosaic compiles are 20-40 s each and dominate a cold bench run's
+# wall-clock; entries key on HLO + flags, so timings are unaffected.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -299,7 +306,7 @@ def main():
     # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
     kv8_tps = {}
-    serving_tps = serving_fused_tps = kv8_4k_tps = None
+    serving_tps = serving_fused_tps = kv8_4k_tps = kv8_8k_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
@@ -322,6 +329,17 @@ def main():
                                               fused=True, kv_dtype="int8")
                 except Exception as e:  # pragma: no cover
                     print(f"# int8+int8kv 4K bench failed: {e!r}", flush=True)
+            if kind == "int4" and not small:
+                try:
+                    # north-star configs[3] at 8-bit KV: int4 weights, 8K ctx
+                    # long-context decode (the VERDICT bar: the 8-bit-KV
+                    # point must beat the bf16-KV 8K number)
+                    import dataclasses
+                    cfg8k = dataclasses.replace(cfg, max_seq_len=8192)
+                    kv8_8k_tps = _time_decode(qparams, cfg8k, n_gen,
+                                              fused=True, kv_dtype="int8")
+                except Exception as e:  # pragma: no cover
+                    print(f"# int4+int8kv 8K bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     serving_tps = _time_serving(qparams, cfg, B=8)
@@ -387,6 +405,8 @@ def main():
         if kv8_tps.get("int4") else None,
         "int8_int8kv_4kctx_tokens_per_s": round(kv8_4k_tps, 2)
         if kv8_4k_tps else None,
+        "int4_int8kv_8kctx_tokens_per_s": round(kv8_8k_tps, 2)
+        if kv8_8k_tps else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.quant import (
-    QuantizedTensor, expand_group_scales, unpack_int4)
+    QuantizedTensor, expand_group_scales, unpack_int4_bitcast)
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -72,32 +72,28 @@ def _m2(ref):
 
 def _dequant_int4_tile(w_ref_val, s_val, gs: int):
     """Packed int4 tile [K/2, N] + group scales [K/gs, N] → bf16 [K, N].
-    VPU-only (shifts/broadcast); used when the scale varies along the
-    reduction axis so dequant can't commute with the dot.  The scale
-    multiply runs in bf16 — int4 values are exact in bf16 and the product
-    feeds a bf16 MXU dot anyway, so the f32 detour would only cost VPU
-    passes."""
-    w = unpack_int4(w_ref_val, 0).astype(jnp.bfloat16)
+    One bitcast unpack + bf16 scale multiply; used when the scale varies
+    along the reduction axis so dequant can't commute with the dot.  The
+    scale multiply runs in bf16 — int4 values are exact in bf16 and the
+    product feeds a bf16 MXU dot anyway, so the f32 detour would only cost
+    VPU passes."""
+    w = unpack_int4_bitcast(w_ref_val).astype(jnp.bfloat16)
     s = expand_group_scales(s_val.astype(jnp.bfloat16), 0, gs)
     return w * s
 
 
-def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool, unpack_axis: int = 0):
+def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool):
     """INT4 fused-dequant matmul for the megakernels: W4A8 int8-MXU fast
     path (``KernelConfig.int4_w4a8``, default) or the exact bf16 tile
-    dequant.  ``x`` is [M, K] bf16; returns f32 [M, N]."""
+    dequant.  ``x`` is [M, K] bf16, ``w_val`` [K/2, N] packed along the
+    sublane axis; returns f32 [M, N]."""
     if w4a8 and gs % 128 == 0:
         # Mosaic lane-legality: the grouped reshape [M, K] -> [(ng,)M, gs]
         # needs the minor (lane) dim gs to be a multiple of 128; smaller
         # group sizes fall through to the exact bf16 dequant below.
         from clusterfusion_tpu.ops.quant import w4a8_int4_dot
-        return w4a8_int4_dot(x, w_val, s_val.astype(jnp.float32), gs,
-                             unpack_axis=unpack_axis)
-    if unpack_axis == 0:
-        wb = _dequant_int4_tile(w_val, s_val, gs)
-    else:
-        wb = unpack_int4(w_val, unpack_axis).astype(jnp.bfloat16) \
-            * expand_group_scales(s_val.astype(jnp.bfloat16), 0, gs)
+        return w4a8_int4_dot(x, w_val, s_val.astype(jnp.float32), gs)
+    wb = _dequant_int4_tile(w_val, s_val, gs)
     return jnp.dot(x, wb, preferred_element_type=jnp.float32)
 
 

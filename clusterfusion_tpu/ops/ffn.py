@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.quant import (
-    QuantizedTensor, expand_group_scales, unpack_int4)
+    QuantizedTensor, expand_group_scales, unpack_int4_bitcast)
 
 
 def ffn_block_size(ffn_dim: int, target: int = 1024) -> int:
@@ -102,18 +102,19 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
                       preferred_element_type=f32) * s[0]
         y_u = jnp.dot(xn, w[1].astype(jnp.bfloat16),
                       preferred_element_type=f32) * s[1]
-    else:  # int4: packed rows pair r with r+hidden/2 → concat restores order
+    else:  # int4: adjacent-pair packing → one bitcast unpack per tile
         s = _r3(w13_s_ref)                                # [2, h/gs, bf]
         sb = s.astype(jnp.bfloat16)
-        wg = unpack_int4(w[0], 0).astype(jnp.bfloat16) \
+        wg = unpack_int4_bitcast(w[0]).astype(jnp.bfloat16) \
             * expand_group_scales(sb[0], 0, gs_q)
-        wu = unpack_int4(w[1], 0).astype(jnp.bfloat16) \
+        wu = unpack_int4_bitcast(w[1]).astype(jnp.bfloat16) \
             * expand_group_scales(sb[1], 0, gs_q)
         y_g = jnp.dot(xn, wg, preferred_element_type=f32)
         y_u = jnp.dot(xn, wu, preferred_element_type=f32)
     act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
-    # down projection: INT4 packs along *hidden* (the output axis) so each
-    # f-block stays self-contained; its group scales live along f (rows).
+    # down projection: INT4 packs adjacent rows along f (the reduction
+    # axis), so each even-sized f-block stays self-contained; its group
+    # scales live along f (rows).
     if wq_kind == "none":
         out_s[...] += jnp.dot(act, _r2(w2_ref), preferred_element_type=f32)
     elif wq_kind == "int8":
@@ -122,7 +123,7 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
         out_s[...] += jnp.dot(act, _r2(w2_ref).astype(jnp.bfloat16),
                               preferred_element_type=f32)
     else:  # int4
-        w2 = unpack_int4(_r2(w2_ref), 1).astype(jnp.bfloat16) \
+        w2 = unpack_int4_bitcast(_r2(w2_ref)).astype(jnp.bfloat16) \
             * expand_group_scales(_r2(w2_s_ref).astype(jnp.bfloat16), 0, gs_q)
         out_s[...] += jnp.dot(act, w2, preferred_element_type=f32)
 
@@ -202,7 +203,7 @@ def fused_ffn(x, residual, norm_w, w13, w2,
             L(lambda j: (0, 0, j)), memory_space=pltpu.VMEM))
         inputs.append(w13_s)
     in_specs.append(pl.BlockSpec(
-        ((1,) if stacked else ()) + (bf, hidden // pack),
+        ((1,) if stacked else ()) + (bf // pack, hidden),
         L(lambda j: (j, 0)), memory_space=pltpu.VMEM))
     inputs.append(w2)
     if wq_kind == "int8":

@@ -102,9 +102,11 @@ class QuantizedTensor:
     """Weight-only quantized tensor.
 
     q: int8 payload.  INT8: same shape as the original.  INT4: ``pack_axis``
-       is halved (element p paired with element p+P/2 in one byte's lo/hi
-       nibble; pack_axis may differ from the reduction axis so that
-       column-blocked kernels can unpack a block locally).
+       is halved (ADJACENT elements 2b / 2b+1 in one byte's lo/hi nibble —
+       exactly the layout ``pltpu.bitcast(int4)`` unpacks, so the kernels'
+       unpack is one hardware conversion instead of a mask/shift chain;
+       adjacent pairing also keeps any even-sized block of the pack axis
+       locally unpackable).
     s: float32 scales.  INT8: reduction axis collapsed to 1 (per output
        channel).  INT4: reduction axis of size K/group_size.
     kind: "int8" | "int4" (static).
@@ -185,8 +187,9 @@ def quantize_int4(w: jnp.ndarray, axis: int, group_size: int = 128,
     q = jnp.clip(jnp.round(wf / s_rep), -7, 7).astype(jnp.int32)
     q = jnp.moveaxis(q, 0, axis)
     qp = jnp.moveaxis(q, pack_axis, 0)
-    P = qp.shape[0]
-    lo, hi = qp[: P // 2], qp[P // 2:]
+    # adjacent pairing: byte b = (row 2b lo, row 2b+1 hi) — the layout
+    # pltpu.bitcast(int4) produces, so in-kernel unpack is one hw convert
+    lo, hi = qp[0::2], qp[1::2]
     packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
     packed = jnp.moveaxis(packed, 0, pack_axis)
     s = jnp.moveaxis(s, 0, axis)
@@ -195,53 +198,74 @@ def quantize_int4(w: jnp.ndarray, axis: int, group_size: int = 128,
 
 def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
     """int8-packed nibbles [..K/2..] → int32 values [..K..] (rows in natural
-    order: byte b holds rows b (lo) and b+K/2 (hi)).
+    order: byte b holds rows 2b (lo) and 2b+1 (hi) — adjacent pairing).
 
-    The dequant chain is the VPU-issue-bound part of INT4 decode (measured:
-    the dot, concat, and scale multiply all hide behind it), so the unpack
-    uses the cheapest op mix found on v5e:
-    - hi nibble in ONE arithmetic shift: for a sign-extended byte,
-      ``p >> 4 == floor(p/16)`` IS the sign-extended top nibble;
-    - lo nibble sign-extended via mask+xor+sub (``((p & 15) ^ 8) - 8``),
-      which beat the two-shift ``(p<<28)>>28`` form (23.2 vs 24.8 µs on
-      the 4096×4096 microbench; the original 4-shift form: 30.7 µs)."""
-    p = packed.astype(jnp.int32)
+    Host/generic path (checkpoints, oracles, the exact bf16 fallback).
+    Inside Pallas kernels use :func:`unpack_int4_bitcast` instead — on TPU
+    the adjacent layout IS ``pltpu.bitcast(int4)``'s layout, so the whole
+    mask/shift/interleave chain collapses into one hardware conversion.
+
+    Nibble op mix (for this path): hi in ONE arithmetic shift
+    (``p >> 4 == floor(p/16)`` is the sign-extended top nibble); lo via
+    mask+xor+sub (``((p & 15) ^ 8) - 8``), measured cheapest on v5e."""
+    axis = _norm_axis(axis, packed.ndim)
+    p = jnp.moveaxis(packed, axis, 0).astype(jnp.int32)    # [K/2, ...]
     lo = ((p & 15) ^ 8) - 8
     hi = jnp.right_shift(p, 4)
-    return jnp.concatenate([lo, hi], axis=axis)
+    out = jnp.stack([lo, hi], axis=1).reshape((-1,) + p.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def unpack_int4_bitcast(packed2d: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel unpack of a 2D tile packed along the SUBLANE axis (axis 0):
+    [K/2, N] int8 → [K, N] int8, rows in natural order.
+
+    ``pltpu.bitcast(int4)`` doubles the second-minor dim with exactly the
+    adjacent-pair layout :func:`quantize_int4` writes (verified on-chip and
+    in interpret mode), and the int4→int8 convert is a native lane op —
+    the microbenched mask/xor/sub chain (scripts/microbench_int4.py v0)
+    loses ~2 µs per 4096² tile to it."""
+    from jax.experimental.pallas import tpu as pltpu
+    assert packed2d.ndim == 2, packed2d.shape
+    return pltpu.bitcast(packed2d, jnp.int4).astype(jnp.int8)
 
 
 def w4a8_int4_dot(x: jnp.ndarray, packed: jnp.ndarray, s: jnp.ndarray,
-                  gs: int, unpack_axis: int = 0) -> jnp.ndarray:
+                  gs: int) -> jnp.ndarray:
     """Fused W4A8 dequant-matmul — the INT4 *fast path* selected by
     ``KernelConfig.int4_w4a8``.
 
-    ``x [M, K]`` (bf16/f32) · int4-packed weights (→ ``[K, N]`` after
-    unpacking along ``unpack_axis``) with group-wise scales
-    ``s [K/gs, N]`` (f32) → f32 ``[M, N]``.
+    ``x [M, K]`` (bf16/f32) · int4-packed weights ``[K/2, N]`` (adjacent
+    pairing, sublane pack axis) with group-wise scales ``s [K/gs, N]``
+    (f32) → f32 ``[M, N]``.  Exact grouped semantics.
 
-    The exact path (:func:`unpack_int4` → bf16 → scale-expand → multiply →
-    bf16 dot) is VPU-issue-bound, not HBM-bound: every weight element takes
-    several VPU passes before the MXU sees it (measured 34.5 µs per
-    4096×4096 tile on v5e vs a 10.8 µs HBM floor — the reason round-1 INT4
-    decode sat at ~48 % of speed-of-light).  Here the *activation* is
-    quantized to int8 per row (symmetric absmax/127) so the dot itself runs
-    on int8 MXU lanes per scale group —
-    ``[NG, M, gs] × [NG, gs, N] → int32 [NG, M, N]`` — followed by an f32
-    scale-weighted sum over the NG group partials (a K/gs-fraction of the
-    tile, negligible).  The weights still unpack on the VPU but stay int8
-    (no bf16 widening, no [K, N] scale multiply): measured 17.0 µs on the
-    same tile, rel-err ~0.9 % per matmul from the activation quantization.
+    Two measured facts shape this (scripts/microbench_int4.py,
+    micro_head2head.py, v5e):
+    - the exact bf16 tile-dequant path is VPU-issue-bound (~34 µs per
+      4096² tile vs a ~11 µs HBM floor — round-1 INT4 sat at ~48 % SoL);
+    - a GROUPED batched int8 dot ([NG,1,gs]×[NG,gs,N]) is itself
+      overhead-bound at M=1: 256 tiny matmuls per tile cost ~2× the
+      stream time even with NO unpack at all (floor_dot ≈ 15.8 µs vs
+      floor_flat ≈ 14.6 µs vs v0 ≈ 19 µs).
+
+    So: the activation is quantized to int8 per row (symmetric absmax/127),
+    weights unpack in ONE hardware conversion (:func:`unpack_int4_bitcast`),
+    and at M=1 each group's x8 slice is placed on the diagonal of a
+    block-diagonal ``X_bd [NG, K]`` so the whole tile is ONE flat
+    [NG, K]×[K, N] int8 MXU matmul — P[g, n] = Σ_{k∈g} x_k w_kn — followed
+    by the f32 scale-weighted column sum Σ_g P[g,n]·s[g,n].  The NG×
+    redundant MACs on zeros are free: decode is HBM-bound and the MXU is
+    ~30× under-occupied at M=1 (head-to-head median 16.5 µs ≈ the
+    streaming floor).  At M>1 the grouped batched dot already has M MXU
+    rows per entry and block-diagonal MAC inflation (M·NG rows) would
+    exceed the stream time, so the [NG, M, gs]×[NG, gs, N] form is kept.
     This is the TPU analogue of the reference's in-register dequant feeding
     wgmma (`kernel.cuh:141-267`), with the group-scale algebra moved past
     the MXU so dequant commutes with the dot like the INT8 path."""
     assert gs % 128 == 0, (
         f"w4a8_int4_dot needs a lane-aligned group size (multiple of 128), "
         f"got {gs} — callers gate on this and fall back to the exact path")
-    p32 = packed.astype(jnp.int32)
-    lo = (((p32 & 15) ^ 8) - 8).astype(jnp.int8)
-    hi = jnp.right_shift(p32, 4).astype(jnp.int8)
-    w8 = jnp.concatenate([lo, hi], axis=unpack_axis)       # [K, N] int8
+    w8 = unpack_int4_bitcast(packed)                       # [K, N] int8
     K, N = w8.shape
     ng = K // gs
     M = x.shape[0]
@@ -249,11 +273,20 @@ def w4a8_int4_dot(x: jnp.ndarray, packed: jnp.ndarray, s: jnp.ndarray,
     xs = jnp.maximum(jnp.max(jnp.abs(xa), axis=-1, keepdims=True),
                      1e-8) * (1.0 / 127.0)                 # [M, 1]
     x8 = jnp.round(xa / xs).astype(jnp.int8)
-    wg = w8.reshape(ng, gs, N)
     if M == 1:
-        xg = x8.reshape(ng, 1, gs)
-    else:
-        xg = x8.reshape(M, ng, gs).swapaxes(0, 1)          # [ng, M, gs]
+        # block-diagonal X: mask/where in int32 (Mosaic has no int8 select)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ng, K), 0)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (ng, K), 1) // gs
+        xbd = jnp.where(row == grp,
+                        jnp.broadcast_to(x8.astype(jnp.int32), (ng, K)),
+                        0).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            xbd, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # [ng, N]
+        y = jnp.sum(part.astype(jnp.float32) * s, axis=0, keepdims=True)
+        return y * xs
+    wg = w8.reshape(ng, gs, N)
+    xg = x8.reshape(M, ng, gs).swapaxes(0, 1)              # [ng, M, gs]
     part = jax.lax.dot_general(
         xg, wg, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)                  # [ng, M, N]
@@ -286,8 +319,12 @@ def quantize(w: jnp.ndarray, kind: str, axis: int, group_size: int = 128,
 # negative indices so both stacked [L, ...] and single-layer trees work.
 # w2 [f, hidden] is consumed in f-blocks by the FFN kernel, so int4 packs
 # along hidden (the output axis) to keep each block self-contained.
+# (reduction axis, pack axis).  With ADJACENT nibble pairing every even-
+# sized block of the pack axis unpacks locally, so w2 packs along its
+# reduction axis (f) like everything else — the kernels' f-blocks cover
+# whole byte pairs and unpack via one bitcast.
 _WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
-                "w13": (-2, -2), "w2": (-2, -1)}
+                "w13": (-2, -2), "w2": (-2, -2)}
 
 
 def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,

@@ -328,7 +328,7 @@ def _verify_kernel(
                                   preferred_element_type=f32)
         else:
             ffn_s[...] += _int4_dot(act, _m2(w2_ref), _m2(w2_s_ref),
-                                    gs_q, w4a8, unpack_axis=1)
+                                    gs_q, w4a8)
 
     # ---- layer exit ----------------------------------------------------------
     @pl.when(t == T - 1)
@@ -519,7 +519,7 @@ def fused_verify_stack(
         add(w13_s, pl.BlockSpec((1, 2, w13_s.shape[-2], bf),
                                 lambda ta, s: (l_of(ta), 0, 0, j_of(ta)),
                                 memory_space=pltpu.VMEM))
-    add(w2_q, pl.BlockSpec((1, bf, hidden // pack),
+    add(w2_q, pl.BlockSpec((1, bf // pack, hidden),
                            lambda ta, s: (l_of(ta), j_of(ta), 0),
                            memory_space=pltpu.VMEM))
     if wq_kind == "int8":

@@ -27,7 +27,11 @@ import numpy as np
 from clusterfusion_tpu.config import LlamaConfig
 from clusterfusion_tpu.ops.quant import QuantizedTensor
 
-_FORMAT_VERSION = 1
+# v2: int4 nibble pairing changed from split-halves (b, b+K/2) to ADJACENT
+# (2b, 2b+1) — the pltpu.bitcast(int4) layout (ops/quant.py).  v1 quantized
+# checkpoints would silently dequantize wrong, so the version check refuses
+# them; requantize from the source weights.
+_FORMAT_VERSION = 2
 
 
 def _flatten(tree, prefix="") -> Dict[str, Any]:
@@ -91,7 +95,10 @@ def load_native_checkpoint(path: str) -> Tuple[Dict, LlamaConfig]:
     """Load a ``save_checkpoint`` directory → (params, cfg)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    assert manifest["format_version"] == _FORMAT_VERSION
+    got = manifest["format_version"]
+    assert got == _FORMAT_VERSION, (
+        f"checkpoint format v{got} != v{_FORMAT_VERSION}: the int4 nibble "
+        f"layout changed in v2 (adjacent pairing) — requantize and re-save")
     cfg = LlamaConfig(**manifest["config"])
     data = np.load(os.path.join(path, "weights.npz"))
     flat: Dict[str, Any] = {}

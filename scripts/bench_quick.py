@@ -1,0 +1,54 @@
+"""Focused decode bench: one operating point per run (fast iteration on the
+int4 path without re-running the full bench.py sweep).
+
+  python scripts/bench_quick.py int4
+  python scripts/bench_quick.py int4 --kv int8
+  python scripts/bench_quick.py int8 --ctx 4096
+  python scripts/bench_quick.py bf16
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from bench import _synth_quant_params, _time_decode  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("kind", choices=["bf16", "int8", "int4"])
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=32)
+    args = ap.parse_args()
+
+    from clusterfusion_tpu.config import LlamaConfig
+    from clusterfusion_tpu.models import llama as model
+
+    cfg = LlamaConfig(hidden_dim=4096, n_heads=32, ffn_dim=11008,
+                      n_layers=args.layers, vocab_size=32000,
+                      max_seq_len=args.ctx)
+    if args.kind == "bf16":
+        params = model.init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        params = _synth_quant_params(cfg, args.kind)
+    jax.block_until_ready(params["embed"])
+    kv_dtype = "int8" if args.kv == "int8" else None
+    kw = {"kv_dtype": kv_dtype} if kv_dtype else {}
+    tps = _time_decode(params, cfg, args.gen, fused=True, **kw)
+    print(f"{args.kind}+{args.kv}kv ctx={args.ctx}: {tps:.2f} tok/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
