@@ -117,8 +117,9 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
 
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)
-    logits = jnp.dot(xn, params["lm_head"],
-                     preferred_element_type=jnp.float32)   # [B, vocab]
+    # _lm_logits handles both a bf16 matrix and a per-column-int8
+    # QuantizedTensor head (dequant commutes with the dot)
+    logits = model._lm_logits(xn, params["lm_head"])       # [B, vocab]
     nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
     return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
 
@@ -212,8 +213,7 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         layer, (x, residual, k_pool, v_pool), layer_idx)
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)
-    logits = jnp.dot(xn, params["lm_head"],
-                     preferred_element_type=jnp.float32)
+    logits = model._lm_logits(xn, params["lm_head"])
     nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
     return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
 
