@@ -171,6 +171,40 @@ def _time_prefill(params, cfg) -> float:
     return T / min(run() for _ in range(3))
 
 
+def _time_deepseek(n_gen: int, small: bool) -> float:
+    """Decode tokens/s for the second model family: DeepSeek-V2-lite MLA
+    geometry (dense FFN) through the fused MLA stack kernel — the reference
+    ships only a model-less single-layer prototype (`deepseek/kernel.cuh`),
+    so this end-to-end number has no reference analogue to match."""
+    from clusterfusion_tpu.config import DeepSeekConfig
+    from clusterfusion_tpu.models import deepseek as dsm
+
+    cfg = (DeepSeekConfig.tiny() if small
+           else DeepSeekConfig(max_seq_len=4096))
+    params = dsm.init_params(cfg, jax.random.PRNGKey(3))
+    jax.block_until_ready(params["embed"])
+    cache = dsm.init_cache(cfg)
+    prompt = jnp.arange(16, dtype=jnp.int32) % 100
+    lg, cache = dsm.prefill(params, cache, prompt, cfg)
+    first = jnp.argmax(lg[-1]).astype(jnp.int32)
+    state = {"tok": first, "pos": 16, "cache": cache}
+
+    def run(n):
+        t0 = time.perf_counter()
+        toks, c2 = dsm.decode_loop(params, state["cache"], state["tok"],
+                                   jnp.asarray(state["pos"], jnp.int32),
+                                   cfg, n_steps=n)
+        _fetch(toks[-1])
+        state.update(tok=toks[-1], pos=state["pos"] + n, cache=c2)
+        return time.perf_counter() - t0
+
+    n1 = max(n_gen // 4, 8)
+    run(n1), run(2 * n1)
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(2 * n1) for _ in range(3))
+    return n1 / max(t2 - t1, 1e-4)
+
+
 def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
                   impl: str = "batched") -> float:
     """Aggregate tok/s of one serving step impl (B concurrent requests,
@@ -306,7 +340,9 @@ def main():
     # to hold both (buffer frees through the relay can lag `del`)
     quant_tps = {}
     kv8_tps = {}
+    fp8_tps = {}
     serving_tps = serving_fused_tps = kv8_4k_tps = kv8_8k_tps = None
+    fp8_4k_tps = fp8_8k_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
@@ -320,6 +356,13 @@ def main():
                                              fused=True, kv_dtype="int8")
             except Exception as e:  # pragma: no cover
                 print(f"# {kind}+int8kv bench failed: {e!r}", flush=True)
+            try:
+                # fp8 (e4m3) KV: bit-twiddle decode in-kernel (ops.quant.
+                # fp8_decode_scaled) — scale-free 8-bit KV at int8-KV speed
+                fp8_tps[kind] = _time_decode(qparams, cfg, n_gen, fused=True,
+                                             kv_dtype=jnp.float8_e4m3fn)
+            except Exception as e:  # pragma: no cover
+                print(f"# {kind}+fp8kv bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     # north-star configs[2]: int8 weights + 8-bit KV, 4K ctx
@@ -327,8 +370,12 @@ def main():
                     cfg4k = dataclasses.replace(cfg, max_seq_len=4096)
                     kv8_4k_tps = _time_decode(qparams, cfg4k, n_gen,
                                               fused=True, kv_dtype="int8")
+                    # the flagship config as literally stated: INT8 + FP8 KV
+                    fp8_4k_tps = _time_decode(qparams, cfg4k, n_gen,
+                                              fused=True,
+                                              kv_dtype=jnp.float8_e4m3fn)
                 except Exception as e:  # pragma: no cover
-                    print(f"# int8+int8kv 4K bench failed: {e!r}", flush=True)
+                    print(f"# int8+8bitkv 4K bench failed: {e!r}", flush=True)
             if kind == "int4" and not small:
                 try:
                     # north-star configs[3] at 8-bit KV: int4 weights, 8K ctx
@@ -338,8 +385,11 @@ def main():
                     cfg8k = dataclasses.replace(cfg, max_seq_len=8192)
                     kv8_8k_tps = _time_decode(qparams, cfg8k, n_gen,
                                               fused=True, kv_dtype="int8")
+                    fp8_8k_tps = _time_decode(qparams, cfg8k, n_gen,
+                                              fused=True,
+                                              kv_dtype=jnp.float8_e4m3fn)
                 except Exception as e:  # pragma: no cover
-                    print(f"# int4+int8kv 8K bench failed: {e!r}", flush=True)
+                    print(f"# int4+8bitkv 8K bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     serving_tps = _time_serving(qparams, cfg, B=8)
@@ -364,6 +414,13 @@ def main():
     del params
     gc.collect()
 
+    deepseek_tps = None
+    try:
+        deepseek_tps = _time_deepseek(n_gen, small)
+        gc.collect()
+    except Exception as e:  # pragma: no cover
+        print(f"# deepseek bench failed: {e!r}", flush=True)
+
     # headline: the fastest fused serving configuration (weight-only
     # int8/int4 preserves model quality; the baseline stays the unfused
     # bf16 XLA path — the reference's own figure of merit is fused vs
@@ -375,6 +432,9 @@ def main():
     for kind, tps in kv8_tps.items():
         if tps:
             candidates[f"{kind}+int8kv"] = tps
+    for kind, tps in fp8_tps.items():
+        if tps:
+            candidates[f"{kind}+fp8kv"] = tps
     best_cfg = max(candidates, key=candidates.get)
     best = candidates[best_cfg]
     print(json.dumps({
@@ -407,6 +467,16 @@ def main():
         if kv8_4k_tps else None,
         "int4_int8kv_8kctx_tokens_per_s": round(kv8_8k_tps, 2)
         if kv8_8k_tps else None,
+        "int8_fp8kv_tokens_per_s": round(fp8_tps["int8"], 2)
+        if fp8_tps.get("int8") else None,
+        "int4_fp8kv_tokens_per_s": round(fp8_tps["int4"], 2)
+        if fp8_tps.get("int4") else None,
+        "int8_fp8kv_4kctx_tokens_per_s": round(fp8_4k_tps, 2)
+        if fp8_4k_tps else None,
+        "int4_fp8kv_8kctx_tokens_per_s": round(fp8_8k_tps, 2)
+        if fp8_8k_tps else None,
+        "deepseek_v2lite_tokens_per_s": round(deepseek_tps, 2)
+        if deepseek_tps else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.quant import (
-    QuantizedTensor, expand_group_scales, unpack_int4_bitcast)
+    FP8_DECODE_FIX, QuantizedTensor, expand_group_scales, fp8_decode_scaled,
+    unpack_int4_bitcast)
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -95,6 +96,18 @@ def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool):
         return w4a8_int4_dot(x, w_val, s_val.astype(jnp.float32), gs)
     wb = _dequant_int4_tile(w_val, s_val, gs)
     return jnp.dot(x, wb, preferred_element_type=jnp.float32)
+
+
+def _kv_tile(tile):
+    """Loaded KV tile -> (bf16 tile, static f32 dot fixup).
+
+    fp8 e4m3 caches decode via the bit-twiddle re-bias
+    (:func:`clusterfusion_tpu.ops.quant.fp8_decode_scaled` — the tile holds
+    value * 2**-56 and the fixup multiplies the DOT RESULT); every other
+    dtype is the native VPU cast with fixup 1 (statically elided)."""
+    if tile.dtype == jnp.float8_e4m3fn:
+        return fp8_decode_scaled(tile), FP8_DECODE_FIX
+    return tile.astype(jnp.bfloat16), 1.0
 
 
 def _rope_vec(x, cos_f, sin_f, style: str):
@@ -260,14 +273,18 @@ def _decoder_layer_kernel(
         col_valid = (pos_base + col_iota) < seq
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
-            # fp8 KV caches are cast at the dot (e4m3 needs no scale here)
-            kc = k_ref[0, h].astype(jnp.bfloat16)        # [chunk, hd]
+            # fp8 KV caches decode via the bit-twiddle re-bias; the 2**56
+            # fixup lands on the [group, chunk] scores / [group, hd] pv
+            kc, kfix = _kv_tile(k_ref[0, h])             # [chunk, hd]
             # Rows past seq are tile padding with undefined content (NaN/Inf
             # possible on hardware): zero v so 0-weighted garbage can't
             # poison the p·V dot; scores get masked below.
-            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
+            vcr, vfix = _kv_tile(v_ref[0, h])
+            vc = jnp.where(row_valid, vcr, 0)
             scores = jax.lax.dot_general(                # [group, chunk]
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kfix != 1.0:
+                scores = scores * kfix
             scores = jnp.where(col_valid, scores, _NEG_INF)
 
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
@@ -276,6 +293,8 @@ def _decoder_layer_kernel(
             alpha = jnp.exp2(m_old - m_new)
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
             pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            if vfix != 1.0:
+                pv = pv * vfix
             acc_s[h * group:(h + 1) * group, :] = \
                 acc_s[h * group:(h + 1) * group, :] * alpha + pv
             ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]

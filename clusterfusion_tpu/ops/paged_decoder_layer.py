@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
-from clusterfusion_tpu.ops.decoder_layer import (_dequant_int4_tile, _m2,
+from clusterfusion_tpu.ops.decoder_layer import (_dequant_int4_tile,
+                                                 _kv_tile, _m2,
                                                  _pick_head_group, _rope_vec)
 from clusterfusion_tpu.ops.quant import QuantizedTensor
 
@@ -64,27 +65,58 @@ def _paged_kernel(
     group: int,
     head_dim: int,
     page: int,
+    npp: int,
     rope_style: str,
     eps: float,
     wq_kind: str = "none",
     gs_q: int = 0,
+    append: bool = False,
+    gather: bool = True,
 ):
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
-    k_ref, v_ref = next(it), next(it)
+    k_any_ref, v_any_ref = next(it), next(it)
     out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
+    if append:
+        kp_out_ref, vp_out_ref = next(it), next(it)
     xnorm_s, q_s, acc_s, out_s, ml_s, kv_s = (next(it) for _ in range(6))
+    if gather:
+        kwin_s, vwin_s, win_sem = (next(it) for _ in range(3))
+    if append:
+        krow_s, vrow_s, row_sem = (next(it) for _ in range(3))
     b_id = pl.program_id(0)
     g_id = pl.program_id(1)
     c_id = pl.program_id(2)
-    n_pages = pl.num_programs(2) - 1
+    n_steps = pl.num_programs(2) - 1
     seq = lens_ref[b_id]
     hd = head_dim
     rows = hg * group
+    chunk = npp * page
     f32 = jnp.float32
+    l = meta_ref[0]
+    last_pg = jnp.maximum(pl.cdiv(seq, page) - 1, 0)
+
+    def window_copies(w, buf):
+        """Gather window w's npp pages (this group's head slice) — the
+        reference's predicated page gather (`kernel_batch_sglang.cuh:
+        356-433`) as double-buffered per-page DMAs off the prefetched
+        block table."""
+        hsl = pl.ds(g_id * hg, hg)
+        out = []
+        for i in range(npp):
+            j = jnp.minimum(w * npp + i, last_pg)
+            pg = table_ref[b_id, j]
+            cols = pl.ds(i * page, page)
+            out.append(pltpu.make_async_copy(
+                k_any_ref.at[l, pg, hsl], kwin_s.at[buf, :, cols],
+                win_sem.at[buf, 0, i]))
+            out.append(pltpu.make_async_copy(
+                v_any_ref.at[l, pg, hsl], vwin_s.at[buf, :, cols],
+                win_sem.at[buf, 1, i]))
+        return out
 
     # ---- per request: residual add + RMSNorm --------------------------------
     @pl.when(jnp.logical_and(g_id == 0, c_id == 0))
@@ -98,6 +130,13 @@ def _paged_kernel(
     # ---- per (request, head group): QKV + RoPE + new-KV ---------------------
     @pl.when(c_id == 0)
     def _():
+        # kick off window 0's page gather before the projection dot so the
+        # first KV chunk flies while the MXU works
+        if gather:
+            @pl.when(seq > 0)
+            def _():
+                for cp in window_copies(0, 0):
+                    cp.start()
         xn = xnorm_s[...].astype(jnp.bfloat16)
         if wq_kind == "none":
             qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
@@ -127,23 +166,42 @@ def _paged_kernel(
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
-    # ---- page steps: online softmax over this request's pages ---------------
+    # ---- page-window steps: online softmax over this request's pages --------
     c = c_id - 1
-    @pl.when(jnp.logical_and(c_id >= 1, c * page < seq))
+    @pl.when(jnp.logical_and(c_id >= 1, c * chunk < seq))
     def _():
-        pos_base = c * page
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (page, 1), 0)
+        if gather:
+            buf = jax.lax.rem(c, 2)
+            for cp in window_copies(c, buf):
+                cp.wait()
+            # prefetch the next window into the other buffer while computing
+            @pl.when(jnp.logical_and(c_id < n_steps, (c + 1) * chunk < seq))
+            def _():
+                for cp in window_copies(c + 1, 1 - buf):
+                    cp.start()
+        pos_base = c * chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         row_valid = (pos_base + row_iota) < seq
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, page), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, chunk), 1)
         col_valid = (pos_base + col_iota) < seq
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
-            # fp8 pools cast at the dot (same policy as the single-seq kernel)
-            kc = k_ref[0, 0, h].astype(jnp.bfloat16)      # [page, hd]
-            vc = jnp.where(row_valid,
-                           v_ref[0, 0, h].astype(jnp.bfloat16), 0)
+            # fp8 pools decode via the bit-twiddle re-bias (see ops.quant);
+            # the 2**56 fixup rides the scores / pv products
+            if gather:
+                kc, kfix = _kv_tile(kwin_s[buf, h])       # [chunk, hd]
+                vcr, vfix = _kv_tile(vwin_s[buf, h])
+            else:
+                # page % 8 != 0 (sglang page-1 parity op): Mosaic cannot
+                # DMA-slice the sub-tile page axis, so pages arrive as
+                # BlockSpec blocks, one per step
+                kc, kfix = _kv_tile(k_any_ref[0, 0, h])
+                vcr, vfix = _kv_tile(v_any_ref[0, 0, h])
+            vc = jnp.where(row_valid, vcr, 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kfix != 1.0:
+                scores = scores * kfix
             scores = jnp.where(col_valid, scores, _NEG_INF)
 
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
@@ -152,15 +210,49 @@ def _paged_kernel(
             alpha = jnp.exp2(m_old - m_new)
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
             pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+            if vfix != 1.0:
+                pv = pv * vfix
             acc_s[h * group:(h + 1) * group, :] = \
                 acc_s[h * group:(h + 1) * group, :] * alpha + pv
             ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]
             ml_s[1, h * group:(h + 1) * group] = \
                 (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
 
-    # ---- final page step: current token + O-projection partial --------------
-    @pl.when(c_id == n_pages)
+    # ---- final step: current token + O-proj partial (+ in-kernel append) ----
+    @pl.when(c_id == n_steps)
     def _():
+        if append:
+            # append this group's new K/V rows at (page table[b, seq//page],
+            # row seq%page) via an aligned RMW into the aliased pools — an
+            # XLA scatter next to a pallas pool operand materializes a full
+            # pool copy per layer (measured 116.7 vs 14.4 ms/step).  The RMW
+            # window is 8 sublanes, or the whole page when page < 8 (the
+            # sglang parity entry runs page-size-1 pools).
+            rmw = min(8, page)
+            pg = table_ref[b_id, seq // page]
+            off = seq - (seq // page) * page
+            row8 = (off // rmw) * rmw
+            hsl = pl.ds(g_id * hg, hg)
+            ksl = kp_out_ref.at[l, pg, hsl, pl.ds(row8, rmw)]
+            vsl = vp_out_ref.at[l, pg, hsl, pl.ds(row8, rmw)]
+            k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
+            v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
+            k_in.start()
+            v_in.start()
+            k_in.wait()
+            v_in.wait()
+            sub = jax.lax.broadcasted_iota(jnp.int32, (hg, rmw, hd), 1)
+            sel = sub == off - row8
+            krow_s[...] = jnp.where(
+                sel, kv_s[:hg, :].astype(krow_s.dtype)[:, None, :], krow_s[...])
+            vrow_s[...] = jnp.where(
+                sel, kv_s[hg:, :].astype(vrow_s.dtype)[:, None, :], vrow_s[...])
+            k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
+            v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
+            k_out.start()
+            v_out.start()
+            k_out.wait()
+            v_out.wait()
         q = q_s[...]
         k_cur = kv_s[:hg, :]
         v_cur = kv_s[hg:, :]
@@ -223,10 +315,14 @@ def llama_decoder_layer_paged(
     """TPU-native paged batch-decode fused layer.
 
     Returns (output [B, hidden], residual_out [B, hidden],
-    k_pool', v_pool') — pools updated with the new token's K/V at
-    ``block_table[b, seq_lens[b] // page], seq_lens[b] % page`` (donate the
-    pools under jit for in-place).  If ``update_pool`` is False, returns
-    (output, residual_out, k_new [B, kv, hd], v_new [B, kv, hd]) instead.
+    k_pool', v_pool') — pools updated IN-KERNEL with the new token's K/V at
+    ``block_table[b, seq_lens[b] // page], seq_lens[b] % page`` through
+    input_output_aliased pool outputs (donate the pools under jit; an XLA
+    scatter next to a pallas pool operand would copy the pool per layer).
+    KV pages are gathered by explicit double-buffered per-page DMAs into
+    ~``kcfg.kv_chunk``-row windows (see :func:`paged_attention`).  If
+    ``update_pool`` is False, returns (output, residual_out,
+    k_new [B, kv, hd], v_new [B, kv, hd]) instead.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -254,6 +350,14 @@ def llama_decoder_layer_paged(
     hg = kv_heads // G
     assert qkv_cols == hg * (group + 2) * hd
     max_pages = block_table.shape[1]
+    # page % 8 != 0 (the page-1 sglang parity op): Mosaic cannot DMA-slice
+    # the sub-tile page axis, so the kernel falls back to BlockSpec page
+    # reads (one page per grid step) and the append to an XLA scatter
+    gather = page % 8 == 0
+    # npp capped at 64: each window page is one DMA + one semaphore slot
+    npp = max(1, min(max_pages, kcfg.kv_chunk // page, 64)) if gather else 1
+    chunk = npp * page
+    n_steps = cdiv(max_pages, npp)
     dt = input.dtype
     pack = 2 if wq_kind == "int4" else 1
     wo_rows = hg * group * hd
@@ -263,11 +367,6 @@ def llama_decoder_layer_paged(
     lens = seq_lens.astype(jnp.int32)
     poss = positions.astype(jnp.int32)
     table = block_table.astype(jnp.int32)
-
-    def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
-        last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
-        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
-        return (meta_s[0], pg, g, 0, 0)
 
     def rope_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
         return (pos_s[b], 0, 0)
@@ -302,31 +401,52 @@ def llama_decoder_layer_paged(
     if wq_kind != "none":
         in_specs.append(wspec(wo_s.shape[-2], hidden))
         inputs.append(wo_s)
-    in_specs += [
-        # heads lead the page axis so the tiled trailing dims are
-        # (page, hd) — an hg block in sublane position would need to be
-        # 8-divisible or full (kv_heads=32, hg=4 at 7B violates that)
-        pl.BlockSpec((1, 1, hg, page, hd), kv_index_map,
+    def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
+        last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
+        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
+        return (meta_s[0], pg, g, 0, 0)
+
+    if gather:
+        # pools stay in HBM; the kernel gathers its own page windows
+        kv_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        kv_spec = pl.BlockSpec((1, 1, hg, page, hd), kv_index_map,
+                               memory_space=pltpu.VMEM)
+    in_specs += [kv_spec, kv_spec]
+    # alias indices include the 4 scalar-prefetch operands
+    k_alias_idx = 4 + len(inputs)
+    inputs += [k_pool, v_pool]
+
+    out_specs = [
+        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hg, page, hd), kv_index_map,
+        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs += [k_pool, v_pool]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, hidden), dt),
+        jax.ShapeDtypeStruct((B, 1, hidden), dt),
+        jax.ShapeDtypeStruct((B, G, hg, hd), dt),
+        jax.ShapeDtypeStruct((B, G, hg, hd), dt),
+    ]
+    aliases = {}
+    in_kernel_append = update_pool and gather
+    if in_kernel_append:
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape += [jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+                      jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype)]
+        aliases = {k_alias_idx: 4, k_alias_idx + 1: 5}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, G, max_pages + 1),
+        grid=(B, G, n_steps + 1),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((1, hidden), jnp.float32),
             pltpu.VMEM((hg * group, hd), jnp.float32),
@@ -334,22 +454,26 @@ def llama_decoder_layer_paged(
             pltpu.VMEM((1, hidden), jnp.float32),
             pltpu.VMEM((2, hg * group), jnp.float32),
             pltpu.VMEM((2 * hg, hd), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((2, hg, chunk, hd), k_pool.dtype),    # K windows
+            pltpu.VMEM((2, hg, chunk, hd), v_pool.dtype),    # V windows
+            pltpu.SemaphoreType.DMA((2, 2, npp)),            # window DMAs
+        ] if gather else []) + ([
+            pltpu.VMEM((hg, 8, hd), k_pool.dtype),           # K append RMW
+            pltpu.VMEM((hg, 8, hd), v_pool.dtype),           # V append RMW
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if in_kernel_append else []),
     )
 
     kernel = functools.partial(
-        _paged_kernel, hg=hg, group=group, head_dim=hd, page=page,
-        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q)
+        _paged_kernel, hg=hg, group=group, head_dim=hd, page=page, npp=npp,
+        rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
+        append=in_kernel_append, gather=gather)
 
-    out, res_out, k_new, v_new = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1, hidden), dt),
-            jax.ShapeDtypeStruct((B, 1, hidden), dt),
-            jax.ShapeDtypeStruct((B, G, hg, hd), dt),
-            jax.ShapeDtypeStruct((B, G, hg, hd), dt),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=kcfg.vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(
@@ -357,17 +481,20 @@ def llama_decoder_layer_paged(
             bytes_accessed=(wqkv_g.size * wqkv_g.dtype.itemsize
                             + wo_g.size * wo_g.dtype.itemsize),
             transcendentals=B * kv_heads * max_pages * page),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(meta, lens, poss, table, *inputs)
 
+    out, res_out, k_new, v_new = results[:4]
     out = out.reshape(B, hidden)
     res_out = res_out.reshape(B, hidden)
     k_new = k_new.reshape(B, kv_heads, hd)
     v_new = v_new.reshape(B, kv_heads, hd)
     if not update_pool:
         return out, res_out, k_new, v_new
-
-    # scatter the new token's K/V into the pool tail slots
+    if in_kernel_append:
+        return out, res_out, results[4], results[5]
+    # page % 8 != 0 fallback: scatter the new K/V into the pool tail slots
     b_idx = jnp.arange(B)
     pg = block_table[b_idx, seq_lens // page]
     off = seq_lens % page
@@ -473,18 +600,51 @@ def llama_decoder_layer_batch_decode_sglang(
 
 def _paged_attn_kernel(
     meta_ref, lens_ref, pgrow_ref, off_ref, table_ref,    # scalar prefetch
-    q_ref, kn_ref, vn_ref, k_ref, v_ref,
+    q_ref, kn_ref, vn_ref, k_any_ref, v_any_ref,
     o_ref, kp_out_ref, vp_out_ref,
-    acc_s, ml_s, krow_s, vrow_s, row_sem,
+    acc_s, ml_s, kwin_s, vwin_s, win_sem, krow_s, vrow_s, row_sem,
     *,
-    kv_heads: int, group: int, head_dim: int, page: int,
+    kv_heads: int, group: int, head_dim: int, page: int, npp: int,
 ):
     b_id = pl.program_id(0)
     c_id = pl.program_id(1)
+    n_steps = pl.num_programs(1) - 1
     n_past = lens_ref[b_id]              # cached rows (EXCLUDING current)
     hd = head_dim
     rows = kv_heads * group
+    chunk = npp * page                   # KV rows per grid step
     f32 = jnp.float32
+    l = meta_ref[0]
+    last_pg = jnp.maximum(pl.cdiv(n_past, page) - 1, 0)
+
+    def start_window(w, buf):
+        """Gather window w's npp pages into ping-pong buffer ``buf`` —
+        the TPU statement of the reference's predicated per-16B page
+        gather (`kernel_batch_sglang.cuh:356-433`): per-page DMAs driven
+        by the prefetched block table, double-buffered so the next
+        window flies while this one computes (SURVEY §7 "paged gather")."""
+        for i in range(npp):
+            j = jnp.minimum(w * npp + i, last_pg)
+            pg = table_ref[b_id, j]
+            cols = pl.ds(i * page, page)
+            pltpu.make_async_copy(
+                k_any_ref.at[l, pg], kwin_s.at[buf, :, cols],
+                win_sem.at[buf, 0, i]).start()
+            pltpu.make_async_copy(
+                v_any_ref.at[l, pg], vwin_s.at[buf, :, cols],
+                win_sem.at[buf, 1, i]).start()
+
+    def wait_window(w, buf):
+        for i in range(npp):
+            j = jnp.minimum(w * npp + i, last_pg)
+            pg = table_ref[b_id, j]
+            cols = pl.ds(i * page, page)
+            pltpu.make_async_copy(
+                k_any_ref.at[l, pg], kwin_s.at[buf, :, cols],
+                win_sem.at[buf, 0, i]).wait()
+            pltpu.make_async_copy(
+                v_any_ref.at[l, pg], vwin_s.at[buf, :, cols],
+                win_sem.at[buf, 1, i]).wait()
 
     @pl.when(c_id == 0)
     def _():
@@ -492,21 +652,33 @@ def _paged_attn_kernel(
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
-    @pl.when(jnp.logical_and(c_id >= 1, (c_id - 1) * page < n_past))
+        @pl.when(n_past > 0)
+        def _():
+            start_window(0, 0)
+
+    @pl.when(jnp.logical_and(c_id >= 1, (c_id - 1) * chunk < n_past))
     def _():
         c = c_id - 1
-        pos_base = c * page
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (page, 1), 0)
+        buf = jax.lax.rem(c, 2)
+        wait_window(c, buf)
+        # prefetch the next window into the other buffer while computing
+        @pl.when(jnp.logical_and(c_id < n_steps, (c + 1) * chunk < n_past))
+        def _():
+            start_window(c + 1, 1 - buf)
+        pos_base = c * chunk
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         row_valid = (pos_base + row_iota) < n_past
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, page), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, chunk), 1)
         col_valid = (pos_base + col_iota) < n_past
         for h in range(kv_heads):
             q = q_ref[0, h].astype(jnp.bfloat16)            # [g, hd]
-            kc = k_ref[0, 0, h].astype(jnp.bfloat16)        # [page, hd]
-            vc = jnp.where(row_valid,
-                           v_ref[0, 0, h].astype(jnp.bfloat16), 0)
+            kc, kfix = _kv_tile(kwin_s[buf, h])             # [chunk, hd]
+            vcr, vfix = _kv_tile(vwin_s[buf, h])
+            vc = jnp.where(row_valid, vcr, 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kfix != 1.0:
+                scores = scores * kfix
             scores = jnp.where(col_valid, scores, _NEG_INF)
             r0 = h * group
             m_old = ml_s[0, r0:r0 + group].reshape(group, 1)
@@ -517,6 +689,8 @@ def _paged_attn_kernel(
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
             pv = jnp.dot(p.astype(jnp.bfloat16), vc,
                          preferred_element_type=f32)
+            if vfix != 1.0:
+                pv = pv * vfix
             acc_s[r0:r0 + group, :] = acc_s[r0:r0 + group, :] * alpha + pv
             ml_s[0, r0:r0 + group] = m_new[:, 0]
             ml_s[1, r0:r0 + group] = \
@@ -584,6 +758,7 @@ def paged_attention(
     layer_id,
     *,
     kcfg: KernelConfig = KernelConfig(),
+    pages_per_step: Optional[int] = None,
     interpret=None,
 ):
     """Batched paged flash-decode attention + in-place append.
@@ -594,6 +769,17 @@ def paged_attention(
     aliased pool outputs (donate the pools under jit), and returns
     (o [B, kv·group·hd], k_pool', v_pool').  Softmax runs in the exp2
     domain with 1/sqrt(hd) applied here.
+
+    ``pages_per_step``: logically-consecutive pages gathered per grid step
+    into one npp·page VMEM chunk by explicit double-buffered per-page DMAs
+    off the prefetched block table (window c+1 flies while window c
+    computes).  Default sizes the chunk to ~``kcfg.kv_chunk`` rows: at
+    page 16 a one-page step is a [16, hd] tile per head — per-step
+    overhead (grid bookkeeping + small-DMA latency) dominates the walk
+    and the B×pages grid serializes it; fewer, bigger steps recover the
+    single-sequence kernel's chunked shape.  The gather stays page-granular
+    (the reference's predicated per-16B gather, `kernel_batch_sglang.cuh:
+    356-433`, at TPU DMA granularity).
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -601,6 +787,9 @@ def paged_attention(
     L, n_pages, _, page, _ = k_pool.shape
     assert page % 8 == 0, page
     max_pages = block_table.shape[1]
+    npp = pages_per_step or max(1, min(max_pages, kcfg.kv_chunk // page, 64))
+    chunk = npp * page
+    n_steps = cdiv(max_pages, npp)
     scale = (1.0 / math.sqrt(hd)) * _LOG2E
     q = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
 
@@ -610,14 +799,9 @@ def paged_attention(
     pgrow = table[jnp.arange(B), lens // page]
     off = lens % page
 
-    def kv_im(b, c, meta_s, lens_s, pg_s, off_s, table_s):
-        last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
-        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
-        return (meta_s[0], pg, 0, 0, 0)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(B, max_pages + 1),
+        grid=(B, n_steps + 1),
         in_specs=[
             pl.BlockSpec((1, kv_heads, group, hd),
                          lambda b, c, *s: (b, 0, 0, 0),
@@ -626,10 +810,9 @@ def paged_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_heads, hd), lambda b, c, *s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_heads, page, hd), kv_im,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kv_heads, page, hd), kv_im,
-                         memory_space=pltpu.VMEM),
+            # pools stay in HBM; the kernel gathers its own page windows
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             # [B, 1, rows*hd]: singleton keeps tiled trailing dims legal
@@ -642,6 +825,9 @@ def paged_attention(
         scratch_shapes=[
             pltpu.VMEM((kv_heads * group, hd), jnp.float32),
             pltpu.VMEM((2, kv_heads * group), jnp.float32),
+            pltpu.VMEM((2, kv_heads, chunk, hd), k_pool.dtype),  # K windows
+            pltpu.VMEM((2, kv_heads, chunk, hd), v_pool.dtype),  # V windows
+            pltpu.SemaphoreType.DMA((2, 2, npp)),                # window DMAs
             pltpu.VMEM((kv_heads, 8, hd), k_pool.dtype),
             pltpu.VMEM((kv_heads, 8, hd), v_pool.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -651,7 +837,7 @@ def paged_attention(
     n_inputs_before_pools = 5 + 3
     out, kp, vp = pl.pallas_call(
         functools.partial(_paged_attn_kernel, kv_heads=kv_heads, group=group,
-                          head_dim=hd, page=page),
+                          head_dim=hd, page=page, npp=npp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, kv_heads * group * hd), q.dtype),

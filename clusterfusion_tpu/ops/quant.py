@@ -89,6 +89,39 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s
 
 
+# ---- FP8 (e4m3) KV fast decode -------------------------------------------
+#
+# v5e has no fp8 ALU: XLA's e4m3->bf16 `convert` lowers to a long software
+# chain (measured ~2.5x decode slowdown at 8K ctx when done per dot).  But
+# e4m3's fields embed exactly into bf16's: placing the 7 magnitude bits at
+# bit 4 puts the 4-bit exponent into the LOW nibble of bf16's 8-bit exponent
+# field and the 3-bit mantissa at the top of bf16's 7-bit mantissa.  Adding
+# 64 to the exponent field re-biases 2^(e-7) -> 2^(e-63), i.e. the bf16
+# pattern holds value * 2**-56 — EXACTLY, for every normal e4m3 value
+# (verified over all 256 bit patterns).  The 2**56 fixup is folded into the
+# [group, chunk] scores / [group, hd] pv products by the kernels, where it
+# costs one VPU multiply on a tile ~128x smaller than the KV tile.  e4m3
+# denormals (|v| <= 0.0136) flush to zero — below e4m3's own quantization
+# step (0.0625 at magnitude ~1), so no accuracy is lost vs the storage
+# format itself.
+FP8_DECODE_FIX = 2.0 ** 56
+
+
+def fp8_decode_scaled(x: jnp.ndarray) -> jnp.ndarray:
+    """float8_e4m3fn tile -> bf16 tile holding ``value * 2**-56``.
+
+    ~10 native VPU int ops per element instead of XLA's software convert
+    chain; pair with a single ``* FP8_DECODE_FIX`` on the dot RESULT (the
+    scale commutes with the dot).  Exact for all normal e4m3 values;
+    denormals flush to 0 (see module comment)."""
+    i = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    mag = i & 0x7F
+    u16 = (mag << 4) + (64 << 7)           # exponent re-bias: +64
+    u16 = jnp.where(mag < 8, 0, u16)       # e4m3 denormals -> 0
+    u16 = u16 | ((i & 0x80) << 8)          # sign to bit 15
+    return jax.lax.bitcast_convert_type(u16.astype(jnp.uint16), jnp.bfloat16)
+
+
 def _norm_axis(axis: int, ndim: int) -> int:
     """Normalize to a NEGATIVE index: ``lax.scan`` slices the leading layer
     axis off stacked weight leaves while the static aux data is shared, so

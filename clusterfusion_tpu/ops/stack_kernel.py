@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
-    _int4_dot, _m2, _rope_vec)
+    _int4_dot, _kv_tile, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
 from clusterfusion_tpu.ops.quant import Int8KV, QuantizedTensor
 
@@ -227,10 +227,16 @@ def _stack_kernel(
         col_valid = (pos_base + col_iota) < seq
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
-            kc = k_ref[0, h].astype(jnp.bfloat16)
-            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
+            kc, kfix = _kv_tile(k_ref[0, h])
+            vcr, vfix = _kv_tile(v_ref[0, h])
+            vc = jnp.where(row_valid, vcr, 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kfix != 1.0:
+                # fp8 bit-twiddle decode fixup (see ops.quant): one multiply
+                # on the [group, chunk] scores instead of a software convert
+                # on the [chunk, hd] tile
+                scores = scores * kfix
             if kv8:
                 # int8 KV: per-position K scales commute to a row scale on
                 # the scores; V scales fold into p before the p·V dot.  The
@@ -248,6 +254,8 @@ def _stack_kernel(
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
             pv_in = (p * svf if kv8 else p).astype(jnp.bfloat16)
             pv = jnp.dot(pv_in, vc, preferred_element_type=f32)
+            if vfix != 1.0:
+                pv = pv * vfix
             acc_s[h * group:(h + 1) * group, :] = \
                 acc_s[h * group:(h + 1) * group, :] * alpha + pv
             ml_s[0, h * group:(h + 1) * group] = m_new[:, 0]

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
-    _int4_dot, _m2, _rope_vec)
+    _int4_dot, _kv_tile, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
 from clusterfusion_tpu.ops.quant import Int8KV, QuantizedTensor
 from clusterfusion_tpu.ops.stack_kernel import _vocab_block
@@ -228,10 +228,14 @@ def _verify_kernel(
         for h in range(hg):
             r0 = h * group * n
             q = q_s[r0:r0 + group * n, :].astype(jnp.bfloat16)
-            kc = k_ref[0, h].astype(jnp.bfloat16)
-            vc = jnp.where(row_valid, v_ref[0, h].astype(jnp.bfloat16), 0)
+            kc, kfix = _kv_tile(k_ref[0, h])
+            vcr, vfix = _kv_tile(v_ref[0, h])
+            vc = jnp.where(row_valid, vcr, 0)
             scores = jax.lax.dot_general(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            if kfix != 1.0:
+                # fp8 bit-twiddle decode fixup (see ops.quant)
+                scores = scores * kfix
             if kv8:
                 rb = ks_ref.shape[-2]      # plane rows in this block
                 skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
@@ -245,6 +249,8 @@ def _verify_kernel(
             p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
             pv_in = (p * svf if kv8 else p).astype(jnp.bfloat16)
             pv = jnp.dot(pv_in, vc, preferred_element_type=f32)
+            if vfix != 1.0:
+                pv = pv * vfix
             acc_s[r0:r0 + group * n, :] = \
                 acc_s[r0:r0 + group * n, :] * alpha + pv
             ml_s[0, r0:r0 + group * n] = m_new[:, 0]

@@ -153,6 +153,23 @@ def test_scan_slices_quantized_tensor():
 # --------------------------------------------------------------------------
 
 
+def test_fp8_decode_scaled_all_codes():
+    """The bit-twiddle e4m3 decode is exact for every normal code; denormals
+    flush to zero (|v| <= 0.0136, below e4m3's own quantization step)."""
+    from clusterfusion_tpu.ops.quant import FP8_DECODE_FIX, fp8_decode_scaled
+    bits = np.arange(256, dtype=np.uint8)
+    f8 = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
+    exact = np.asarray(f8.astype(jnp.float32))
+    dec = np.asarray(fp8_decode_scaled(f8).astype(jnp.float32)) \
+        * FP8_DECODE_FIX
+    finite = np.isfinite(exact)
+    denorm = (bits & 0x78) == 0
+    np.testing.assert_array_equal(dec[finite & ~denorm],
+                                  exact[finite & ~denorm])
+    assert np.all(dec[denorm] == 0.0)
+    assert np.max(np.abs(exact[finite & denorm])) < 0.014
+
+
 def test_fp8_kv_cache_decode():
     params = _params()
     kc8, vc8 = model.init_cache(CFG, dtype=jnp.float8_e4m3fn)
