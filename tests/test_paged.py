@@ -146,6 +146,111 @@ def test_block_table_paged_vs_single_seq_oracle(page):
         assert _mx(vp2[0, pg, :, off].reshape(1, HIDDEN), want[3]) < 5e-2
 
 
+def test_block_table_paged_multi_window():
+    """Force n_steps > 1 in the fused paged kernel (kv_chunk = 2 pages →
+    npp=2 over 4 pages = 2 windows): exercises the double-buffered window
+    gather and cross-window online-softmax accumulation that production
+    contexts > kv_chunk rows hit."""
+    page = 16
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 8)
+    dtype = jnp.bfloat16
+    B = 2
+    lens = [3 * page + 5, 4 * page - 1]     # spans both windows
+    max_pages = 4
+    num_pages = 16
+    L = 1
+
+    w_qkv, w_o, rms_w = _mk_weights(ks[0])
+    hg = HEADS
+    per_head = (w_qkv.reshape(3, HEADS, HEAD_DIM, HIDDEN)
+                .transpose(1, 3, 0, 2).reshape(HEADS, HIDDEN, 3 * HEAD_DIM))
+    wo_per_head = w_o.T.reshape(HEADS, HEAD_DIM, HIDDEN)
+    wqkv_g, wo_g = fuse_qkv_o_for_kernel(per_head, wo_per_head, HEADS, 1,
+                                         HEAD_DIM, hg)
+
+    x = jax.random.normal(ks[1], (B, HIDDEN), dtype)
+    res = jax.random.normal(ks[2], (B, HIDDEN), dtype)
+    k_pool = jax.random.normal(ks[3], (L, num_pages, HEADS, page, HEAD_DIM), dtype)
+    v_pool = jax.random.normal(ks[4], (L, num_pages, HEADS, page, HEAD_DIM), dtype)
+
+    rng = np.random.RandomState(5)
+    table = jnp.asarray(rng.permutation(num_pages)[: B * max_pages]
+                        .reshape(B, max_pages).astype(np.int32))
+    seq_lens = jnp.asarray(lens, jnp.int32)
+    positions = seq_lens
+
+    max_pos = max(lens) + 1
+    angle = np.outer(np.arange(max_pos), 0.2 * np.arange(HEAD_DIM // 2) + 0.05)
+    cos_h, sin_h = np.cos(angle), np.sin(angle)
+    cos_t = jnp.asarray(np.concatenate([cos_h, cos_h], -1), jnp.float32)
+    sin_t = jnp.asarray(np.concatenate([sin_h, sin_h], -1), jnp.float32)
+
+    kcfg = KernelConfig(kv_chunk=2 * page)      # npp=2 → 2 windows
+    out, res_out, kp2, vp2 = jax.jit(
+        lambda *a: llama_decoder_layer_paged(
+            *a, layer_id=0, rms_w=rms_w[None], eps=1e-5, cos_t=cos_t,
+            sin_t=sin_t, kcfg=kcfg))(x, res, wqkv_g, wo_g, table, seq_lens,
+                                     positions, k_pool, v_pool)
+
+    for b in range(B):
+        s = lens[b]
+        kc = jnp.asarray(np.stack(
+            [np.asarray(k_pool[0, int(table[b, t // page]), :, t % page])
+             .reshape(HIDDEN) for t in range(s)]))
+        vc = jnp.asarray(np.stack(
+            [np.asarray(v_pool[0, int(table[b, t // page]), :, t % page])
+             .reshape(HIDDEN) for t in range(s)]))
+        want = llama_decoder_layer_sglang_ref(
+            x[b:b + 1], res[b:b + 1], w_qkv, w_o, kc, vc, rms_w, 1e-5,
+            jnp.asarray(cos_h[s], jnp.float32),
+            jnp.asarray(sin_h[s], jnp.float32),
+            n_heads=HEADS, head_dim=HEAD_DIM)
+        assert _mx(out[b:b + 1], want[0]) < 1e-1, f"req {b} output"
+        pg, off = int(table[b, s // page]), s % page
+        assert _mx(kp2[0, pg, :, off].reshape(1, HIDDEN), want[2]) < 5e-2
+
+
+def test_paged_attention_multi_window():
+    """Lean paged attention with pages_per_step=2 over 4 pages: the
+    ping-pong buffers alternate and window prefetch overlaps compute."""
+    from clusterfusion_tpu.ops.paged_decoder_layer import paged_attention
+
+    rng = np.random.RandomState(9)
+    B, kv, g, hd, page, P, L = 2, 4, 2, 128, 8, 4, 2
+    num_pages = B * P + 1
+    q = jnp.asarray(rng.randn(B, kv, g, hd), jnp.bfloat16)
+    k_new = jnp.asarray(rng.randn(B, kv, hd), jnp.bfloat16)
+    v_new = jnp.asarray(rng.randn(B, kv, hd), jnp.bfloat16)
+    kp = jnp.asarray(rng.randn(L, num_pages, kv, page, hd), jnp.bfloat16)
+    vp = jnp.asarray(rng.randn(L, num_pages, kv, page, hd), jnp.bfloat16)
+    table = jnp.asarray(rng.permutation(num_pages - 1)[: B * P]
+                        .reshape(B, P).astype(np.int32) + 1) % num_pages
+    lens = jnp.asarray([3 * page + 2, 2 * page], jnp.int32)
+    layer = 0
+
+    o, kp2, vp2 = jax.jit(
+        lambda *a: paged_attention(*a, pages_per_step=2))(
+        q, k_new, v_new, kp, vp, table, lens, layer)
+
+    for b in range(2):
+        s = int(lens[b])
+        rows_k = [np.asarray(kp[layer, int(table[b, t // page]), :, t % page],
+                             np.float32) for t in range(s)]
+        rows_v = [np.asarray(vp[layer, int(table[b, t // page]), :, t % page],
+                             np.float32) for t in range(s)]
+        rows_k.append(np.asarray(k_new[b], np.float32))
+        rows_v.append(np.asarray(v_new[b], np.float32))
+        K, V = np.stack(rows_k), np.stack(rows_v)
+        qb = np.asarray(q[b], np.float32)
+        scores = np.einsum("kgd,skd->kgs", qb, K) / np.sqrt(hd)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("kgs,skd->kgd", p, V).reshape(kv * g * hd)
+        np.testing.assert_allclose(np.asarray(o[b], np.float32), want,
+                                   atol=0.03)
+
+
 def test_paged_attention_matches_oracle():
     """The lean batched paged-attention kernel (batched-step building
     block) vs dense masked attention on the gathered pages, including the
