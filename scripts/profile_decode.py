@@ -10,12 +10,15 @@ Usage: python scripts/profile_decode.py [--kind int4] [--kv int8]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as B
 from clusterfusion_tpu.config import LlamaConfig
 from clusterfusion_tpu.models import llama as model
