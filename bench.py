@@ -206,7 +206,7 @@ def _time_deepseek(n_gen: int, small: bool) -> float:
 
 
 def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
-                  impl: str = "batched") -> float:
+                  impl: str = "batched", page: int = 16) -> float:
     """Aggregate tok/s of one serving step impl (B concurrent requests,
     paged pools), timed as an on-device chain — the host-driven engine
     loop pays a relay roundtrip per step in this environment, which a
@@ -222,7 +222,7 @@ def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
     step_fn = (_paged_decode_step_batched if impl == "batched"
                else _paged_decode_step)
 
-    page, P = 16, 16
+    P = 256 // page
     num_pages = B * P + 1
     kp = jnp.zeros((cfg.n_layers, num_pages, cfg.kv_heads, page,
                     cfg.head_dim_), jnp.bfloat16)
@@ -421,6 +421,24 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# deepseek bench failed: {e!r}", flush=True)
 
+    llama3_tps = None
+    if not small:
+        try:
+            # GQA family point: Llama-3-8B geometry (8 kv heads, 128K vocab,
+            # neox rope) at the production operating point int4+int8kv+lm8
+            from clusterfusion_tpu.config import LlamaConfig as _LC
+            import dataclasses as _dc
+            cfg3 = _dc.replace(_LC.llama3_8b(), n_layers=n_layers,
+                               max_seq_len=1024)
+            qp3 = _synth_quant_params(cfg3, "int4")
+            jax.block_until_ready(qp3["embed"])
+            llama3_tps = _time_decode(qp3, cfg3, n_gen, fused=True,
+                                      kv_dtype="int8")
+            del qp3
+            gc.collect()
+        except Exception as e:  # pragma: no cover
+            print(f"# llama3-8b bench failed: {e!r}", flush=True)
+
     # headline: the fastest fused serving configuration (weight-only
     # int8/int4 preserves model quality; the baseline stays the unfused
     # bf16 XLA path — the reference's own figure of merit is fused vs
@@ -477,6 +495,8 @@ def main():
         if fp8_8k_tps else None,
         "deepseek_v2lite_tokens_per_s": round(deepseek_tps, 2)
         if deepseek_tps else None,
+        "llama3_8b_int4_int8kv_tokens_per_s": round(llama3_tps, 2)
+        if llama3_tps else None,
         "device": str(jax.devices()[0]),
     }))
 

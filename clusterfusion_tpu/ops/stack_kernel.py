@@ -102,6 +102,46 @@ def _stack_kernel(
     rows = hg * group
     f32 = jnp.float32
 
+    # ---- pipelined in-kernel cache append ------------------------------------
+    # The append is an aligned 8-row RMW DMA into the aliased cache (see
+    # ops.decoder_layer for why an XLA-level update is not an option).  A
+    # blocking read-modify-write costs 2 serial DMA roundtrips per head
+    # group (4 with int8-KV scale planes) — measured ~25-30 µs/layer of the
+    # ~50 µs/layer gap to the byte floor.  So the RMW is pipelined across
+    # phases: every group's window READ prefetches at the PREVIOUS layer's
+    # exit step (t_all == 0 for layer 0), the projection step only waits
+    # that long-landed read, modifies, and STARTS the write, and the writes
+    # drain at this layer's exit step — no append DMA is ever waited while
+    # it is still in flight.
+    cap_ = kc_out_ref.shape[2]
+    row = jnp.minimum(seq, cap_ - 1)
+    row8 = (row // 8) * 8
+    off = row - row8
+    srow8 = (row // 1024) * 8 if kv8 else 0
+
+    def _append_copies(lx, g, write: bool):
+        """(start|wait)-able RMW copies for group g of layer lx."""
+        hsl = pl.ds(g * hg, hg)
+        ksl = kc_out_ref.at[lx, hsl, pl.ds(row8, 8)]
+        vsl = vc_out_ref.at[lx, hsl, pl.ds(row8, 8)]
+        pairs = ([(krow_s.at[g], ksl, row_sem.at[0, g]),
+                  (vrow_s.at[g], vsl, row_sem.at[1, g])] if write else
+                 [(ksl, krow_s.at[g], row_sem.at[0, g]),
+                  (vsl, vrow_s.at[g], row_sem.at[1, g])])
+        if kv8:
+            kssl = ksc_out_ref.at[lx, hsl, pl.ds(srow8, 8)]
+            vssl = vsc_out_ref.at[lx, hsl, pl.ds(srow8, 8)]
+            pairs += ([(ksrow_s.at[g], kssl, srow_sem.at[0, g]),
+                       (vsrow_s.at[g], vssl, srow_sem.at[1, g])] if write else
+                      [(kssl, ksrow_s.at[g], srow_sem.at[0, g]),
+                       (vssl, vsrow_s.at[g], srow_sem.at[1, g])])
+        return [pltpu.make_async_copy(s, d, sem) for s, d, sem in pairs]
+
+    def _start_reads(lx):
+        for g in range(G):
+            for cp in _append_copies(lx, g, write=False):
+                cp.start()
+
     # ---- layer entry: residual add + attention RMSNorm ----------------------
     @pl.when(t == 0)
     def _():
@@ -109,6 +149,7 @@ def _stack_kernel(
         def _():
             hx_s[...] = x_ref[...].astype(f32)
             res_s[...] = jnp.zeros_like(res_s)
+            _start_reads(0)
         r1 = hx_s[...] + res_s[...]
         res_s[...] = r1
         var = jnp.mean(r1 * r1, axis=-1, keepdims=True)
@@ -145,18 +186,10 @@ def _stack_kernel(
                 qi = _rope_vec(qkv[:, base + i * hd: base + (i + 1) * hd],
                                cos_f, sin_f, rope_style)
                 q_s[h * group + i: h * group + i + 1, :] = qi * scale
-        # in-kernel cache append: aligned 8-row RMW DMA into the aliased
-        # cache (see ops.decoder_layer for the full rationale)
-        cap_ = kc_out_ref.shape[2]
-        row = jnp.minimum(seq, cap_ - 1)
-        row8 = (row // 8) * 8
-        off = row - row8
-        ksl = kc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, 8)]
-        vsl = vc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, 8)]
-        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
-        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
-        k_in.start()
-        v_in.start()
+        # append: wait the long-prefetched RMW window read, modify, start
+        # the write (drained at this layer's exit step — never blocks here)
+        for cp in _append_copies(l, g_id, write=False):
+            cp.wait()
         if kv8:
             # quantize the new K/V rows (symmetric absmax/127 per head) and
             # RMW their per-position scales into the [R, 128] scale planes:
@@ -169,49 +202,27 @@ def _stack_kernel(
                              1e-8) * (1.0 / 127.0)           # [hg, 1]
             sv = jnp.maximum(jnp.max(jnp.abs(v_cur), axis=-1, keepdims=True),
                              1e-8) * (1.0 / 127.0)
-            srow8 = (row // 1024) * 8
             soff_r = row // 128 - srow8
             scol = row - (row // 128) * 128
-            kssl = ksc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(srow8, 8)]
-            vssl = vsc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(srow8, 8)]
-            ks_in = pltpu.make_async_copy(kssl, ksrow_s, srow_sem.at[0])
-            vs_in = pltpu.make_async_copy(vssl, vsrow_s, srow_sem.at[1])
-            ks_in.start()
-            vs_in.start()
             k_new = jnp.round(k_cur / sk)
             v_new = jnp.round(v_cur / sv)
-            ks_in.wait()
-            vs_in.wait()
             sub_r = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, 128), 1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, 128), 2)
             smask = jnp.logical_and(sub_r == soff_r, lane == scol)
-            ksrow_s[...] = jnp.where(smask, sk[:, :, None], ksrow_s[...])
-            vsrow_s[...] = jnp.where(smask, sv[:, :, None], vsrow_s[...])
-            ks_out = pltpu.make_async_copy(ksrow_s, kssl, srow_sem.at[0])
-            vs_out = pltpu.make_async_copy(vsrow_s, vssl, srow_sem.at[1])
-            ks_out.start()
-            vs_out.start()
+            ksrow_s[g_id] = jnp.where(smask, sk[:, :, None], ksrow_s[g_id])
+            vsrow_s[g_id] = jnp.where(smask, sv[:, :, None], vsrow_s[g_id])
         else:
             k_new = kv_s[:hg, :]
             v_new = kv_s[hg:, :]
-        k_in.wait()
-        v_in.wait()
         sub = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, hd), 1)
-        krow_s[...] = jnp.where(sub == off,
-                                k_new.astype(krow_s.dtype)[:, None, :],
-                                krow_s[...])
-        vrow_s[...] = jnp.where(sub == off,
-                                v_new.astype(vrow_s.dtype)[:, None, :],
-                                vrow_s[...])
-        k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
-        v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
-        k_out.start()
-        v_out.start()
-        k_out.wait()
-        v_out.wait()
-        if kv8:
-            ks_out.wait()
-            vs_out.wait()
+        krow_s[g_id] = jnp.where(sub == off,
+                                 k_new.astype(krow_s.dtype)[:, None, :],
+                                 krow_s[g_id])
+        vrow_s[g_id] = jnp.where(sub == off,
+                                 v_new.astype(vrow_s.dtype)[:, None, :],
+                                 vrow_s[g_id])
+        for cp in _append_copies(l, g_id, write=True):
+            cp.start()
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
@@ -348,6 +359,16 @@ def _stack_kernel(
     # ---- layer exit ------------------------------------------------------------
     @pl.when(t == T - 1)
     def _():
+        # drain this layer's append writes (started >= nb steps ago), then
+        # prefetch the next layer's RMW windows so its projection steps
+        # never wait on a read
+        for g in range(G):
+            for cp in _append_copies(l, g, write=True):
+                cp.wait()
+
+        @pl.when(l < L - 1)
+        def _():
+            _start_reads(l + 1)
         out = ffn_s[...]
         if wq_kind == "int8":
             # per-output-column scale is identical on every chip, so it
@@ -655,13 +676,13 @@ def fused_decoder_stack(
             pltpu.VMEM((1, hidden), jnp.float32),        # hx carry
             pltpu.VMEM((1, hidden), jnp.float32),        # residual carry
             pltpu.VMEM((1, hidden), jnp.float32),        # ffn acc
-            pltpu.VMEM((hg, 8, hd), k_arr.dtype),        # K append RMW
-            pltpu.VMEM((hg, 8, hd), v_arr.dtype),        # V append RMW
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G, hg, 8, hd), k_arr.dtype),     # K append RMW (per g)
+            pltpu.VMEM((G, hg, 8, hd), v_arr.dtype),     # V append RMW
+            pltpu.SemaphoreType.DMA((2, G)),
         ] + ([
-            pltpu.VMEM((hg, 8, 128), jnp.float32),       # K-scale RMW
-            pltpu.VMEM((hg, 8, 128), jnp.float32),       # V-scale RMW
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G, hg, 8, 128), jnp.float32),    # K-scale RMW
+            pltpu.VMEM((G, hg, 8, 128), jnp.float32),    # V-scale RMW
+            pltpu.SemaphoreType.DMA((2, G)),
         ] if kv8 else []) + ([
             pltpu.VMEM((2, 1, hidden), jnp.float32),     # ring ping-pong
             pltpu.SemaphoreType.DMA(()),                 # ring send
