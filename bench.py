@@ -274,7 +274,7 @@ def _synth_quant_params(cfg, kind: str):
     kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
     h, L, V = cfg.hidden_dim, cfg.n_layers, cfg.vocab_size
     f = padded_ffn_dim(cfg)
-    hg = default_head_group(cfg)
+    hg = default_head_group(cfg, kind)     # quant-aware wider grouping
     G = kv // hg
     key = jax.random.PRNGKey(1)
     gs = 128

@@ -98,10 +98,17 @@ def _load_meta_state(ckpt_dir: str) -> Dict[str, np.ndarray]:
 
 
 def load_meta_checkpoint(ckpt_dir: str, max_seq_len: int = 2048,
-                         dtype=jnp.bfloat16) -> Tuple[LlamaParams, LlamaConfig]:
-    """Load a Meta llama checkpoint dir (params.json + *.pth)."""
+                         dtype=jnp.bfloat16, head_group=None,
+                         quant=None) -> Tuple[LlamaParams, LlamaConfig]:
+    """Load a Meta llama checkpoint dir (params.json + *.pth).
+    ``head_group`` picks the fused layout's KV-head grouping (None →
+    ``model.default_head_group(cfg, quant)`` — pass ``quant`` when the
+    params will be quantized after load: the quantized megakernels run
+    fastest with a wider grouping)."""
+    from clusterfusion_tpu.models.llama import default_head_group
     cfg = config_from_params_json(os.path.join(ckpt_dir, "params.json"),
                                   max_seq_len)
+    head_group = head_group or default_head_group(cfg, quant)
     state = _load_meta_state(ckpt_dir)
     if "tok_embeddings.weight" in state:
         vocab = state["tok_embeddings.weight"].shape[0]
@@ -115,7 +122,8 @@ def load_meta_checkpoint(ckpt_dir: str, max_seq_len: int = 2048,
     for i in range(cfg.n_layers):
         wqkv_f, wo_f = fuse_attention_weights(
             get(i, "attention.wq.weight"), get(i, "attention.wk.weight"),
-            get(i, "attention.wv.weight"), get(i, "attention.wo.weight"), cfg)
+            get(i, "attention.wv.weight"), get(i, "attention.wo.weight"), cfg,
+            head_group=head_group)
         wqkv_l.append(wqkv_f)
         wo_l.append(wo_f)
         w13, w2 = _pad_ffn(
@@ -163,8 +171,10 @@ def _load_hf_state(model_dir: str) -> Dict[str, np.ndarray]:
 
 
 def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
-                       dtype=jnp.bfloat16) -> Tuple[LlamaParams, LlamaConfig]:
+                       dtype=jnp.bfloat16, head_group=None,
+                       quant=None) -> Tuple[LlamaParams, LlamaConfig]:
     """Load an HF-format llama directory (config.json + *.safetensors)."""
+    from clusterfusion_tpu.models.llama import default_head_group
     with open(os.path.join(model_dir, "config.json")) as f:
         hc = json.load(f)
     cfg = LlamaConfig(
@@ -179,6 +189,7 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         max_seq_len=max_seq_len,
         rope_style="neox",     # HF stores q/k pre-permuted for rotate-half
     )
+    head_group = head_group or default_head_group(cfg, quant)
     state = _load_hf_state(model_dir)
 
     def get(name):
@@ -191,7 +202,8 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
             get(pre + "self_attn.q_proj.weight"),
             get(pre + "self_attn.k_proj.weight"),
             get(pre + "self_attn.v_proj.weight"),
-            get(pre + "self_attn.o_proj.weight"), cfg)
+            get(pre + "self_attn.o_proj.weight"), cfg,
+            head_group=head_group)
         wqkv_l.append(wqkv_f)
         wo_l.append(wo_f)
         w13, w2 = _pad_ffn(
@@ -217,12 +229,14 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
     return params, cfg
 
 
-def load_checkpoint(path: str, max_seq_len: int = 2048, dtype=jnp.bfloat16):
+def load_checkpoint(path: str, max_seq_len: int = 2048, dtype=jnp.bfloat16,
+                    head_group=None, quant=None):
     """Dispatch: Meta dir (params.json) vs HF dir (config.json)."""
     if os.path.exists(os.path.join(path, "params.json")):
-        return load_meta_checkpoint(path, max_seq_len, dtype)
+        return load_meta_checkpoint(path, max_seq_len, dtype, head_group,
+                                    quant)
     if os.path.exists(os.path.join(path, "config.json")):
-        return load_hf_checkpoint(path, max_seq_len, dtype)
+        return load_hf_checkpoint(path, max_seq_len, dtype, head_group, quant)
     raise FileNotFoundError(f"no params.json or config.json under {path}")
 
 

@@ -94,7 +94,10 @@ class Llama:
         kept for signature parity (single-seq fused decode is bs=1, like the
         reference kernel)."""
         from clusterfusion_tpu.models.checkpoint import load_checkpoint
-        params, cfg = load_checkpoint(ckpt_dir, max_seq_len, dtype)
+        # quantized engines use the wider quant-aware head grouping (the
+        # fused layout bakes it in, so it must be chosen at load time)
+        params, cfg = load_checkpoint(ckpt_dir, max_seq_len, dtype,
+                                      quant=quant)
         tokenizer = load_tokenizer(tokenizer_path)
         return Llama(params, cfg, tokenizer, fused=fused, quant=quant,
                      kv_dtype=kv_dtype)
@@ -105,7 +108,9 @@ class Llama:
                   kv_dtype=jnp.bfloat16) -> "Llama":
         """Random-weight engine with a byte tokenizer — hermetic e2e testing
         and benchmarking without a checkpoint."""
-        params = model.init_params(cfg, jax.random.PRNGKey(seed))
+        params = model.init_params(
+            cfg, jax.random.PRNGKey(seed),
+            head_group=model.default_head_group(cfg, quant))
         return Llama(params, cfg, load_tokenizer("bytes"), fused=fused,
                      quant=quant, kv_dtype=kv_dtype)
 

@@ -66,12 +66,18 @@ def padded_ffn_dim(cfg: LlamaConfig) -> int:
     return round_up(cfg.ffn_dim, 1024)
 
 
-def default_head_group(cfg: LlamaConfig) -> int:
-    """KV heads per kernel grid step in the fused weight layout.  4 keeps
-    the whole-stack megakernel's double-buffered blocks inside the default
-    100 MB VMEM budget at 7B geometry (hg=8 needs ~126 MB for no measured
-    gain: 50.8 vs 51.8 tok/s on v5e)."""
-    hg = min(4, cfg.kv_heads)
+def default_head_group(cfg: LlamaConfig, quant: Optional[str] = None) -> int:
+    """KV heads per kernel grid step in the fused weight layout.
+
+    bf16: 4 keeps the whole-stack megakernel's double-buffered blocks
+    inside the default 100 MB VMEM budget at 7B geometry (hg=8 needs
+    ~126 MB for no measured gain: 50.8 vs 51.8 tok/s on v5e).
+
+    int8/int4 (``quant``): the blocks are 2-4× smaller, so hg=8 fits and
+    halves the attention grid steps — measured +6% at int4+int8kv on v5e
+    (166.5 → 176.3 tok/s; per-step fixed overhead is the remaining gap
+    to the byte floor, scripts/profile_decode.py)."""
+    hg = min(8 if quant in ("int8", "int4") else 4, cfg.kv_heads)
     while cfg.kv_heads % hg:
         hg -= 1
     return hg
