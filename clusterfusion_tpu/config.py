@@ -185,6 +185,12 @@ class KernelConfig:
     head_group: int = 8
     # Output-column tile for streamed weight matmuls.
     weight_tile: int = 512
+    # FFN column-block target for the megakernels (largest lane-aligned
+    # divisor of the padded ffn dim <= this is used); bigger blocks mean
+    # fewer grid steps per layer at more VMEM per block.  With int4-g128
+    # weights the block must also keep bf/128 scale rows tileable
+    # (multiple of 8 or the whole axis), so 1024-multiples only.
+    ffn_block_target: int = 1024
     # INT4 fast path: quantize the activation to int8 per row and run the
     # dot on int8 MXU lanes per scale group (W4A8) instead of dequantizing
     # the [K, N] tile to bf16 on the VPU (measured 2× on the dequant+dot;
@@ -195,7 +201,7 @@ class KernelConfig:
 
     def key(self) -> Tuple:
         return (self.kv_chunk, self.head_group, self.weight_tile,
-                self.int4_w4a8)
+                self.int4_w4a8, self.ffn_block_target)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -168,7 +168,7 @@ def fused_ffn(x, residual, norm_w, w13, w2,
     else:
         stacked = w2.ndim == 3
         f_pad = w2.shape[-2]
-    bf = ffn_block_size(f_pad)
+    bf = ffn_block_size(f_pad, kcfg.ffn_block_target)
     assert f_pad % bf == 0, (f_pad, bf)
     nb = f_pad // bf
     pack = 2 if wq_kind == "int4" else 1

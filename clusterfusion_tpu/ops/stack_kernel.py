@@ -516,7 +516,7 @@ def fused_decoder_stack(
         chunk = cap if cap <= 1024 else round_up(chunk, 1024)
         assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
     nc = max(cdiv(cap, chunk), 1)
-    bf = ffn_block_size(f_pad)
+    bf = ffn_block_size(f_pad, kcfg.ffn_block_target)
     nb = f_pad // bf
     TA = G * (nc + 1)
     T = TA + nb

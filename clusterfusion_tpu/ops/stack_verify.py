@@ -441,7 +441,7 @@ def fused_verify_stack(
         assert chunk % 128 == 0 or chunk == cap, (chunk, cap)
     Sr = 16 if (kv8 and ks_arr.shape[2] >= 16) else 8
     nc = max(cdiv(cap, chunk), 1)
-    bf = ffn_block_size(f_pad)
+    bf = ffn_block_size(f_pad, kcfg.ffn_block_target)
     nb = f_pad // bf
     TA = G * (nc + 1)
     T = TA + nb
