@@ -33,9 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from clusterfusion_tpu.config import KernelConfig, LlamaConfig
-from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
 from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
-from clusterfusion_tpu.ops.ffn import fused_ffn
 from clusterfusion_tpu.ops.flash_prefill import flash_prefill_attention
 from clusterfusion_tpu.ops.gemv import gemv
 from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm, rmsnorm
@@ -456,21 +454,6 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
     # place via an input_output_aliased DMA instead of an XLA-level
     # dynamic_update_slice (~1 GB copy/layer otherwise).
     lw = params["layers"]
-
-    def fused_layer(carry, l):
-        x, residual, kc, vc = carry
-        attn, residual, _, _, kc, vc = _fused_decoder_layer(
-            x, residual, lw["attn_norm"][:, None], cos, sin,
-            lw["wqkv_f"], lw["wo_f"], kc, vc, pos, l,
-            group=g, head_dim=hd, rope_style=cfg.rope_style,
-            fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
-            interpret=interpret_mode(), append_kv=True)
-        attn = attn.astype(x.dtype)
-        x, residual = fused_ffn(attn, residual, lw["ffn_norm"][:, None],
-                                lw["w13"], lw["w2"], eps=cfg.norm_eps,
-                                kcfg=kcfg, interpret=interpret_mode(),
-                                layer_id=l)
-        return (x.astype(attn.dtype), residual.astype(attn.dtype), kc, vc), None
 
     def eager_layer(carry, xs):
         x, residual, kc, vc = carry

@@ -30,7 +30,9 @@ scratch — layers never round-trip through HBM.  The new token's K/V is
 appended to the input_output_aliased cache by an in-kernel RMW DMA, and
 during FFN phases every attention operand's index map pins its last block
 so nothing is re-fetched.  INT8/INT4 weights dequantize in-kernel exactly
-as in ops.decoder_layer / ops.ffn; fp8 KV caches cast at the dots.
+as in ops.decoder_layer / ops.ffn; fp8 KV caches decode via the
+bit-twiddle re-bias (ops.quant.fp8_decode_scaled) with the 2**56 fixup
+folded into the scores/pv products.
 """
 
 from __future__ import annotations

@@ -26,7 +26,7 @@ from bench import _synth_quant_params, _time_decode  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kind", choices=["bf16", "int8", "int4"])
-    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8", "fp8"])
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--layers", type=int, default=32)
@@ -43,7 +43,8 @@ def main():
     else:
         params = _synth_quant_params(cfg, args.kind)
     jax.block_until_ready(params["embed"])
-    kv_dtype = "int8" if args.kv == "int8" else None
+    import jax.numpy as jnp
+    kv_dtype = {"int8": "int8", "fp8": jnp.float8_e4m3fn}.get(args.kv)
     kw = {"kv_dtype": kv_dtype} if kv_dtype else {}
     tps = _time_decode(params, cfg, args.gen, fused=True, **kw)
     print(f"{args.kind}+{args.kv}kv ctx={args.ctx}: {tps:.2f} tok/s",
