@@ -98,6 +98,40 @@ def _verify_kernel(
     rows = hg * group * n                  # softmax panel rows per group step
     f32 = jnp.float32
 
+    # ---- pipelined n-row cache append (same scheme as ops.stack_kernel):
+    # window reads prefetch at the previous layer's exit, writes drain at
+    # this layer's exit — the RMW never blocks a projection step.
+    cap_ = kc_out_ref.shape[2]
+    # //8*8 outermost so Mosaic can prove the DMA start is tile-aligned
+    row8 = (jnp.minimum(seq, cap_ - Wr) // 8) * 8
+    off = seq - row8                       # in [0, Wr - n]
+    if kv8:
+        R_ = ksc_out_ref.shape[2]
+        s0 = (jnp.minimum(seq, cap_ - 1) // 1024) * 8
+        s0 = jnp.minimum(s0, R_ - Sr)
+
+    def _append_copies(lx, g, write: bool):
+        hsl = pl.ds(g * hg, hg)
+        ksl = kc_out_ref.at[lx, hsl, pl.ds(row8, Wr)]
+        vsl = vc_out_ref.at[lx, hsl, pl.ds(row8, Wr)]
+        pairs = ([(krow_s.at[g], ksl, row_sem.at[0, g]),
+                  (vrow_s.at[g], vsl, row_sem.at[1, g])] if write else
+                 [(ksl, krow_s.at[g], row_sem.at[0, g]),
+                  (vsl, vrow_s.at[g], row_sem.at[1, g])])
+        if kv8:
+            kssl = ksc_out_ref.at[lx, hsl, pl.ds(s0, Sr)]
+            vssl = vsc_out_ref.at[lx, hsl, pl.ds(s0, Sr)]
+            pairs += ([(ksrow_s.at[g], kssl, srow_sem.at[0, g]),
+                       (vsrow_s.at[g], vssl, srow_sem.at[1, g])] if write else
+                      [(kssl, ksrow_s.at[g], srow_sem.at[0, g]),
+                       (vssl, vsrow_s.at[g], srow_sem.at[1, g])])
+        return [pltpu.make_async_copy(s, d, sem) for s, d, sem in pairs]
+
+    def _start_reads(lx):
+        for g in range(G):
+            for cp in _append_copies(lx, g, write=False):
+                cp.start()
+
     # ---- layer entry ---------------------------------------------------------
     @pl.when(t == 0)
     def _():
@@ -105,6 +139,7 @@ def _verify_kernel(
         def _():
             hx_s[...] = x_ref[...].astype(f32)
             res_s[...] = jnp.zeros_like(res_s)
+            _start_reads(0)
         r1 = hx_s[...] + res_s[...]
         res_s[...] = r1
         var = jnp.mean(r1 * r1, axis=-1, keepdims=True)
@@ -143,17 +178,10 @@ def _verify_kernel(
                                cos_f, sin_f, rope_style)
                 r0 = (h * group + i) * n
                 q_s[r0:r0 + n, :] = qi * scale
-        # n-row cache append: one RMW over a Wr-row aligned window
-        cap_ = kc_out_ref.shape[2]
-        # //8*8 outermost so Mosaic can prove the DMA start is tile-aligned
-        row8 = (jnp.minimum(seq, cap_ - Wr) // 8) * 8
-        off = seq - row8                               # in [0, Wr - n]
-        ksl = kc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, Wr)]
-        vsl = vc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(row8, Wr)]
-        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
-        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
-        k_in.start()
-        v_in.start()
+        # n-row cache append: wait the prefetched RMW window, modify,
+        # start the write (drained at this layer's exit step)
+        for cp in _append_copies(l, g_id, write=False):
+            cp.wait()
         kv_all = kv_s[...].reshape(2, hg, n, hd)
         if kv8:
             # per-(head, token) int8 scales; the n positions can straddle a
@@ -163,33 +191,16 @@ def _verify_kernel(
                              1e-8) * (1.0 / 127.0)            # [hg, n]
             sv = jnp.maximum(jnp.max(jnp.abs(kv_all[1]), axis=-1),
                              1e-8) * (1.0 / 127.0)
-            R_ = ksc_out_ref.shape[2]
-            s0 = (jnp.minimum(seq, cap_ - 1) // 1024) * 8
-            s0 = jnp.minimum(s0, R_ - Sr)
-            kssl = ksc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(s0, Sr)]
-            vssl = vsc_out_ref.at[l, pl.ds(g_id * hg, hg), pl.ds(s0, Sr)]
-            ks_in = pltpu.make_async_copy(kssl, ksrow_s, srow_sem.at[0])
-            vs_in = pltpu.make_async_copy(vssl, vsrow_s, srow_sem.at[1])
-            ks_in.start()
-            vs_in.start()
-            ks_in.wait()
-            vs_in.wait()
             sub_r = jax.lax.broadcasted_iota(jnp.int32, (hg, Sr, 128), 1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (hg, Sr, 128), 2)
             for tok in range(n):
                 pos_t = seq + tok
                 smask = jnp.logical_and(sub_r == pos_t // 128 - s0,
                                         lane == pos_t % 128)
-                ksrow_s[...] = jnp.where(smask, sk[:, tok][:, None, None],
-                                         ksrow_s[...])
-                vsrow_s[...] = jnp.where(smask, sv[:, tok][:, None, None],
-                                         vsrow_s[...])
-            ks_out = pltpu.make_async_copy(ksrow_s, kssl, srow_sem.at[0])
-            vs_out = pltpu.make_async_copy(vsrow_s, vssl, srow_sem.at[1])
-            ks_out.start()
-            vs_out.start()
-        k_in.wait()
-        v_in.wait()
+                ksrow_s[g_id] = jnp.where(smask, sk[:, tok][:, None, None],
+                                          ksrow_s[g_id])
+                vsrow_s[g_id] = jnp.where(smask, sv[:, tok][:, None, None],
+                                          vsrow_s[g_id])
         sub = jax.lax.broadcasted_iota(jnp.int32, (hg, Wr, hd), 1)
         for tok in range(n):
             sel = sub == off + tok
@@ -201,17 +212,10 @@ def _verify_kernel(
             else:
                 k_tok = kv_all[0, :, tok].astype(krow_s.dtype)  # [hg, hd]
                 v_tok = kv_all[1, :, tok].astype(vrow_s.dtype)
-            krow_s[...] = jnp.where(sel, k_tok[:, None, :], krow_s[...])
-            vrow_s[...] = jnp.where(sel, v_tok[:, None, :], vrow_s[...])
-        k_out = pltpu.make_async_copy(krow_s, ksl, row_sem.at[0])
-        v_out = pltpu.make_async_copy(vrow_s, vsl, row_sem.at[1])
-        k_out.start()
-        v_out.start()
-        k_out.wait()
-        v_out.wait()
-        if kv8:
-            ks_out.wait()
-            vs_out.wait()
+            krow_s[g_id] = jnp.where(sel, k_tok[:, None, :], krow_s[g_id])
+            vrow_s[g_id] = jnp.where(sel, v_tok[:, None, :], vrow_s[g_id])
+        for cp in _append_copies(l, g_id, write=True):
+            cp.start()
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
@@ -339,6 +343,13 @@ def _verify_kernel(
     # ---- layer exit ----------------------------------------------------------
     @pl.when(t == T - 1)
     def _():
+        for g in range(G):
+            for cp in _append_copies(l, g, write=True):
+                cp.wait()
+
+        @pl.when(l < L - 1)
+        def _():
+            _start_reads(l + 1)
         out = ffn_s[...]
         if wq_kind == "int8":
             out = out * _m2(w2_s_ref)
@@ -593,13 +604,13 @@ def fused_verify_stack(
             pltpu.VMEM((n, hidden), jnp.float32),            # hx carry
             pltpu.VMEM((n, hidden), jnp.float32),            # residual carry
             pltpu.VMEM((n, hidden), jnp.float32),            # ffn acc
-            pltpu.VMEM((hg, Wr, hd), k_arr.dtype),           # K append RMW
-            pltpu.VMEM((hg, Wr, hd), v_arr.dtype),           # V append RMW
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G, hg, Wr, hd), k_arr.dtype),        # K append RMW
+            pltpu.VMEM((G, hg, Wr, hd), v_arr.dtype),        # V append RMW
+            pltpu.SemaphoreType.DMA((2, G)),
         ] + ([
-            pltpu.VMEM((hg, Sr, 128), jnp.float32),          # K-scale RMW
-            pltpu.VMEM((hg, Sr, 128), jnp.float32),          # V-scale RMW
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G, hg, Sr, 128), jnp.float32),       # K-scale RMW
+            pltpu.VMEM((G, hg, Sr, 128), jnp.float32),       # V-scale RMW
+            pltpu.SemaphoreType.DMA((2, G)),
         ] if kv8 else []),
     )
 
