@@ -206,7 +206,8 @@ def _time_deepseek(n_gen: int, small: bool) -> float:
 
 
 def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
-                  impl: str = "batched", page: int = 16) -> float:
+                  impl: str = "batched", page: int = 16,
+                  kv_dtype=jnp.bfloat16, ctx: int = 256) -> float:
     """Aggregate tok/s of one serving step impl (B concurrent requests,
     paged pools), timed as an on-device chain — the host-driven engine
     loop pays a relay roundtrip per step in this environment, which a
@@ -222,10 +223,10 @@ def _time_serving(qparams, cfg, B: int = 8, n_steps: int = 24,
     step_fn = (_paged_decode_step_batched if impl == "batched"
                else _paged_decode_step)
 
-    P = 256 // page
+    P = ctx // page
     num_pages = B * P + 1
     kp = jnp.zeros((cfg.n_layers, num_pages, cfg.kv_heads, page,
-                    cfg.head_dim_), jnp.bfloat16)
+                    cfg.head_dim_), kv_dtype)
     vp = jnp.zeros_like(kp)
     table = jnp.asarray((1 + np.arange(B * P).reshape(B, P)) % num_pages,
                         jnp.int32)
@@ -342,7 +343,7 @@ def main():
     kv8_tps = {}
     fp8_tps = {}
     serving_tps = serving_fused_tps = kv8_4k_tps = kv8_8k_tps = None
-    fp8_4k_tps = fp8_8k_tps = None
+    fp8_4k_tps = fp8_8k_tps = serving_fp8_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
@@ -397,6 +398,16 @@ def main():
                                                       impl="fused")
                 except Exception as e:  # pragma: no cover
                     print(f"# serving bench failed: {e!r}", flush=True)
+                try:
+                    # north-star configs[2] verbatim: INT8 weights + FP8
+                    # PAGED KV cache, batched, 4K ctx (B=4 keeps pools +
+                    # weights inside one chip's 16 GB HBM)
+                    serving_fp8_tps = _time_serving(
+                        qparams, cfg, B=4, kv_dtype=jnp.float8_e4m3fn,
+                        ctx=4096)
+                except Exception as e:  # pragma: no cover
+                    print(f"# serving fp8-pool bench failed: {e!r}",
+                          flush=True)
             del qparams
             gc.collect()
         except Exception as e:  # pragma: no cover - bench resilience
@@ -477,6 +488,8 @@ def main():
         if serving_tps else None,
         "serving_fused_int8_b8_tokens_per_s": round(serving_fused_tps, 1)
         if serving_fused_tps else None,
+        "serving_int8_fp8kv_b4_4kctx_tokens_per_s": round(serving_fp8_tps, 1)
+        if serving_fp8_tps else None,
         "int8_int8kv_tokens_per_s": round(kv8_tps["int8"], 2)
         if kv8_tps.get("int8") else None,
         "int4_int8kv_tokens_per_s": round(kv8_tps["int4"], 2)
