@@ -196,12 +196,20 @@ class KernelConfig:
     # the [K, N] tile to bf16 on the VPU (measured 2× on the dequant+dot;
     # rel-err ~0.9 % per matmul).  False = exact W4A16 tile dequant.
     int4_w4a8: bool = True
+    # Serving batched step, int8 params: quantize activations to int8 per
+    # row and run the projections/FFN as native int8xint8 MXU dots (W8A8)
+    # instead of int8->bf16 converts fused into bf16 dots.  Measured
+    # perf-NEUTRAL on v5e at 7B B=8/16 (573/854 vs 577/863 tok/s): XLA
+    # already overlaps the fused convert with the weight stream, so the
+    # exacter W8A16 path stays the default.  Kept as an option for
+    # hardware where the convert is the bottleneck.
+    serving_w8a8: bool = False
     # Upper bound on VMEM the compiler may use for one kernel (bytes).
     vmem_limit_bytes: int = 100 * 1024 * 1024
 
     def key(self) -> Tuple:
         return (self.kv_chunk, self.head_group, self.weight_tile,
-                self.int4_w4a8, self.ffn_block_target)
+                self.int4_w4a8, self.ffn_block_target, self.serving_w8a8)
 
 
 @dataclasses.dataclass(frozen=True)

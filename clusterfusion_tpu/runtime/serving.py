@@ -144,10 +144,17 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
     stream from HBM once per step at M=B, which is exactly what the MXU
     wants — and Pallas handles only what XLA cannot: the per-request
     scattered page walk (``ops.paged_decoder_layer.paged_attention``).
+
+    ``kcfg.serving_w8a8`` switches the int8 projections/FFN to native
+    int8×int8 MXU dots over per-row int8-quantized activations (both
+    scales applied to the int32 result).  Off by default: measured
+    perf-neutral on v5e (XLA already overlaps the fused int8→bf16 weight
+    convert with the stream), and W8A16 is exacter.
     """
     B = tokens.shape[0]
     g = cfg.n_heads // cfg.kv_heads
     kv, hd = cfg.kv_heads, cfg.head_dim_
+    w8a8 = kcfg.serving_w8a8
     cos_t, sin_t = model.rope_table(cfg)
     cos = cos_t[positions]                            # [B, hd]
     sin = sin_t[positions]
@@ -159,11 +166,24 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         return jax.tree.map(
             lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), w)
 
+    def rowq(x):
+        """Per-row symmetric int8 activation quantization."""
+        xa = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xa), axis=-1, keepdims=True),
+                         1e-8) * (1.0 / 127.0)
+        return jnp.round(xa / xs).astype(jnp.int8), xs
+
     def qkv_dot(xn, w):
         """[B,h] @ [G,h,c] -> [B,G,c]; int8 scales commute with the dot
         (applied to the [B,G,c] result — int8 streams from HBM as int8,
         no materialized bf16 copy)."""
         if isinstance(w, QuantizedTensor) and w.kind == "int8":
+            if w8a8:
+                x8, xs = rowq(xn)
+                y = jnp.einsum("bd,Gdc->bGc", x8, w.q,
+                               preferred_element_type=jnp.int32)
+                return (y.astype(jnp.float32) * xs[:, :, None]
+                        * w.s[:, 0, :]).astype(xn.dtype)
             return (jnp.einsum("bd,Gdc->bGc", xn, w.q.astype(xn.dtype),
                                preferred_element_type=jnp.float32)
                     * w.s[:, 0, :]).astype(xn.dtype)
@@ -174,11 +194,31 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         """[B,G,c] @ [G,c,hidden] -> [B,hidden] with per-group int8 scales
         applied before the cross-group sum."""
         if isinstance(w, QuantizedTensor) and w.kind == "int8":
+            if w8a8:
+                x8, xs = rowq(o3)
+                y = jnp.einsum("bGc,Gco->bGo", x8, w.q,
+                               preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * xs * w.s[:, 0, :]
+                return jnp.sum(y, axis=1)
             y = jnp.einsum("bGc,Gco->bGo", o3, w.q.astype(o3.dtype),
                            preferred_element_type=jnp.float32)
             return jnp.sum(y * w.s[:, 0, :], axis=1)
         return jnp.einsum("bGc,Gco->bo", o3, maybe_dequantize(w, o3.dtype),
                           preferred_element_type=jnp.float32)
+
+    def ffn(xn2, w13, w2):
+        """SwiGLU; W8A8 when int8-quantized (model._ffn otherwise)."""
+        if (w8a8 and isinstance(w13, QuantizedTensor)
+                and w13.kind == "int8"):
+            x8, xs = rowq(xn2)
+            y = jnp.einsum("bd,udf->buf", x8, w13.q,
+                           preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * w13.s[:, 0, :] * xs[:, :, None]
+            act = jax.nn.silu(y[:, 0]) * y[:, 1]
+            a8, as_ = rowq(act)
+            z = jnp.dot(a8, w2.q, preferred_element_type=jnp.int32)
+            return (z.astype(jnp.float32) * w2.s * as_).astype(xn2.dtype)
+        return model._ffn(xn2, w13, w2)
 
     def layer(carry, l):
         x, res, kp, vp = carry
@@ -205,7 +245,7 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                           keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn, res, fn, cfg.norm_eps)
-        h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+        h = ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
         return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
