@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--long", action="store_true",
+                    help="prefill so the timed decode runs at ~ctx live "
+                         "tokens (otherwise live length is ~16..1.5K "
+                         "regardless of --ctx: kernels only read the live "
+                         "KV prefix)")
     args = ap.parse_args()
 
     from clusterfusion_tpu.config import LlamaConfig
@@ -46,9 +51,12 @@ def main():
     import jax.numpy as jnp
     kv_dtype = {"int8": "int8", "fp8": jnp.float8_e4m3fn}.get(args.kv)
     kw = {"kv_dtype": kv_dtype} if kv_dtype else {}
+    if args.long:
+        kw["prompt_len"] = max(16, args.ctx - 12 * max(args.gen // 4, 8) - 64)
     tps = _time_decode(params, cfg, args.gen, fused=True, **kw)
-    print(f"{args.kind}+{args.kv}kv ctx={args.ctx}: {tps:.2f} tok/s",
-          flush=True)
+    live = kw.get("prompt_len", 16)
+    print(f"{args.kind}+{args.kv}kv ctx={args.ctx} live>={live}: "
+          f"{tps:.2f} tok/s", flush=True)
 
 
 if __name__ == "__main__":
