@@ -222,6 +222,8 @@ class MeshConfig:
       dcn ride the slow host interconnect, so only *data parallelism* maps
       onto it: batch rows for training, whole requests for serving.  Weights
       are replicated over dcn; tp/sp collectives never cross it.
+    - ``pp``: pipeline parallelism (layer stages; GPipe microbatch schedule,
+      `parallel.pp`) — activations ppermute stage→stage over ICI.
     - ``dp``: intra-slice data parallelism (batch).
     - ``tp``: tensor parallelism (attention heads + ffn columns) — ICI only.
     - ``sp``: sequence parallelism (training activations + decode KV) — ICI.
@@ -235,14 +237,16 @@ class MeshConfig:
     tp: int = 1
     sp: int = 1
     dcn: int = 1
+    pp: int = 1
 
     @property
     def shape(self):
-        return {"dcn": self.dcn, "dp": self.dp, "tp": self.tp, "sp": self.sp}
+        return {"dcn": self.dcn, "pp": self.pp, "dp": self.dp,
+                "tp": self.tp, "sp": self.sp}
 
     @property
     def n_devices(self) -> int:
-        return self.dcn * self.dp * self.tp * self.sp
+        return self.dcn * self.pp * self.dp * self.tp * self.sp
 
     # ---- north-star multi-host serving topologies (BASELINE configs[4]:
     # "Llama-2-13B/70B tensor-sharded across v5e-16 (2 hosts), continuous
