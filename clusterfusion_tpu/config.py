@@ -223,9 +223,14 @@ class MeshConfig:
       onto it: batch rows for training, whole requests for serving.  Weights
       are replicated over dcn; tp/sp collectives never cross it.
     - ``pp``: pipeline parallelism (layer stages; GPipe microbatch schedule,
-      `parallel.pp`) — activations ppermute stage→stage over ICI.
+      `parallel.pp.make_pp_train_step`) — activations ppermute stage→stage
+      over ICI.
     - ``dp``: intra-slice data parallelism (batch).
     - ``tp``: tensor parallelism (attention heads + ffn columns) — ICI only.
+    - ``ep``: expert parallelism (MoE expert arrays sharded on their leading
+      axis; `parallel.ep.make_ep_moe_ffn`) — ICI only.  Dense models leave
+      it 1; ep can also ride the tp axis (``axis="tp"``) when attention-TP
+      and expert-EP share the same chip pool.
     - ``sp``: sequence parallelism (training activations + decode KV) — ICI.
 
     The reference's only cross-device parallelism is fairscale TP over NCCL
@@ -238,15 +243,16 @@ class MeshConfig:
     sp: int = 1
     dcn: int = 1
     pp: int = 1
+    ep: int = 1
 
     @property
     def shape(self):
         return {"dcn": self.dcn, "pp": self.pp, "dp": self.dp,
-                "tp": self.tp, "sp": self.sp}
+                "tp": self.tp, "ep": self.ep, "sp": self.sp}
 
     @property
     def n_devices(self) -> int:
-        return self.dcn * self.pp * self.dp * self.tp * self.sp
+        return self.dcn * self.pp * self.dp * self.tp * self.ep * self.sp
 
     # ---- north-star multi-host serving topologies (BASELINE configs[4]:
     # "Llama-2-13B/70B tensor-sharded across v5e-16 (2 hosts), continuous

@@ -347,42 +347,52 @@ def prefill(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 
+def layer_forward(h, p, cos, sin, mask, cfg: LlamaConfig):
+    """One decoder layer of the batched training/eval forward.
+
+    h [B, T, hidden]; p: one layer's slice of the ``layers`` pytree;
+    cos/sin [1, T, hd]; mask [T, T] causal.  Shared by :func:`forward`
+    (full stack via lax.scan) and the pipeline-parallel schedule
+    (``parallel.pp``: each pp stage scans its local sub-stack)."""
+    B, T = h.shape[0], h.shape[1]
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+    xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
+    q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [B,T,kv,g,hd]
+    q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
+                    cfg.rope_style)
+    k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
+    scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[None, None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+    o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
+                   preferred_element_type=jnp.float32).astype(h.dtype)
+    G = p["wo_f"].shape[0]
+    attn = jnp.einsum("btGc,Gco->bto",
+                      o.reshape(B, T, G, (kv // G) * g * hd),
+                      maybe_dequantize(p["wo_f"], h.dtype),
+                      preferred_element_type=jnp.float32
+                      ).astype(h.dtype)
+    h2 = h + attn
+    xn2 = rmsnorm_ref(h2, p["ffn_norm"], cfg.norm_eps)
+    return h2 + _ffn(xn2, p["w13"], p["w2"])
+
+
 def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
     """Causal LM forward for training/eval.  tokens: [B, T] int32 →
     logits [B, T, vocab] fp32.  Pure jnp (differentiable; the fused decode
     kernel is inference-only, like the reference's fused path which is
     decode-only, `model.py:490`)."""
-    B, T = tokens.shape
+    T = tokens.shape[1]
     cos_t, sin_t = rope_table(cfg, max_pos=max(T, cfg.max_seq_len))
     cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
     h = params["embed"][tokens]                            # [B, T, hidden]
     mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
-    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
 
-    def layer(h, p):
-        xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [B,T,kv,g,hd]
-        q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
-                        cfg.rope_style)
-        k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
-        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
-        scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None, None, None], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
-        o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
-                       preferred_element_type=jnp.float32).astype(h.dtype)
-        G = p["wo_f"].shape[0]
-        attn = jnp.einsum("btGc,Gco->bto",
-                          o.reshape(B, T, G, (kv // G) * g * hd),
-                          maybe_dequantize(p["wo_f"], h.dtype),
-                          preferred_element_type=jnp.float32
-                          ).astype(h.dtype)
-        h2 = h + attn
-        xn2 = rmsnorm_ref(h2, p["ffn_norm"], cfg.norm_eps)
-        return h2 + _ffn(xn2, p["w13"], p["w2"]), None
-
-    h, _ = jax.lax.scan(layer, h, params["layers"])
+    h, _ = jax.lax.scan(
+        lambda h, p: (layer_forward(h, p, cos, sin, mask, cfg), None),
+        h, params["layers"])
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
     return _lm_logits(xn, params["lm_head"])
 

@@ -22,3 +22,10 @@ from clusterfusion_tpu.parallel.collective import (
     cluster_gather,
     cluster_reduce,
 )
+from clusterfusion_tpu.parallel.pp import (
+    make_pp_train_step,
+    pipeline_lm_loss,
+    pp_param_shardings,
+    shard_params_pp,
+)
+from clusterfusion_tpu.parallel.ep import make_ep_moe_ffn

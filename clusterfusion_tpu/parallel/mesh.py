@@ -17,7 +17,7 @@ from jax.sharding import Mesh
 
 from clusterfusion_tpu.config import MeshConfig
 
-AXES = ("dcn", "pp", "dp", "tp", "sp")
+AXES = ("dcn", "pp", "dp", "tp", "ep", "sp")
 
 
 def build_mesh(mcfg: Optional[MeshConfig] = None,
@@ -37,7 +37,7 @@ def build_mesh(mcfg: Optional[MeshConfig] = None,
     assert mcfg.n_devices == len(devices), \
         f"mesh {mcfg.shape} needs {mcfg.n_devices} devices, got {len(devices)}"
     arr = np.array(devices).reshape(mcfg.dcn, mcfg.pp, mcfg.dp, mcfg.tp,
-                                    mcfg.sp)
+                                    mcfg.ep, mcfg.sp)
     return Mesh(arr, AXES)
 
 
@@ -55,9 +55,9 @@ def build_hybrid_mesh(mcfg: MeshConfig) -> Mesh:
         return build_mesh(mcfg)
     from jax.experimental import mesh_utils
     arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(mcfg.pp, mcfg.dp, mcfg.tp, mcfg.sp),
-        dcn_mesh_shape=(mcfg.dcn, 1, 1, 1),
+        mesh_shape=(mcfg.pp, mcfg.dp, mcfg.tp, mcfg.ep, mcfg.sp),
+        dcn_mesh_shape=(mcfg.dcn, 1, 1, 1, 1),
         devices=jax.devices())
-    # hybrid shape comes back (dcn*pp, dp, tp, sp) with dcn on the slow axis
-    arr = arr.reshape(mcfg.dcn, mcfg.pp, mcfg.dp, mcfg.tp, mcfg.sp)
+    # hybrid shape comes back (dcn*pp, dp, tp, ep, sp), dcn on the slow axis
+    arr = arr.reshape(mcfg.dcn, mcfg.pp, mcfg.dp, mcfg.tp, mcfg.ep, mcfg.sp)
     return Mesh(arr, AXES)

@@ -194,14 +194,16 @@ print("SP_OK")
 
 
 def test_expert_sharded_moe_matches_single_device():
-    """Expert-parallel MoE: experts sharded over a 4-chip axis, per-chip
-    masked-dense contributions combined with psum — must equal the
-    unsharded masked-dense MoE (and hence the gathered-expert decode)."""
+    """Expert-parallel MoE (`parallel.ep.make_ep_moe_ffn`): experts sharded
+    over the mesh's ep axis, per-chip masked-dense contributions combined
+    with psum — must equal the unsharded masked-dense MoE (and hence the
+    gathered-expert decode).  Covers a pure ep=4 mesh and a mixed
+    (tp=2, ep=2, dp=2) mesh where ep is one axis of several."""
     code = """
 import jax, jax.numpy as jnp, numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
-from clusterfusion_tpu.ops.moe import moe_ffn_dense, route_top_k, _swiglu
+from clusterfusion_tpu.config import MeshConfig
+from clusterfusion_tpu.ops.moe import moe_ffn_dense
+from clusterfusion_tpu.parallel import build_mesh, make_ep_moe_ffn
 
 E, H, F, K = 8, 256, 128, 2
 ks = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -213,35 +215,68 @@ x = jax.random.normal(ks[3], (4, H), jnp.bfloat16)
 
 want = moe_ffn_dense(x, router_w, w13, w2, K)
 
-mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("ep",))
-
-def local(x, router_w, w13_l, w2_l, e0):
-    # full router on every chip; each chip applies only its local experts
-    gates, _ = route_top_k(x, router_w, K)       # [T, E] (global)
-    El = w13_l.shape[0]
-    g_l = jax.lax.dynamic_slice(gates, (0, e0[0]), (x.shape[0], El))
-    def body(acc, ew):
-        w13_e, w2_e, g = ew
-        y = _swiglu(x, w13_e.astype(x.dtype), w2_e.astype(x.dtype))
-        return acc + g[:, None] * y, None
-    # initial carry must be marked varying over the manual 'ep' axis (the
-    # body output varies with the chip-local expert weights)
-    acc0 = jax.lax.pcast(jnp.zeros(x.shape, jnp.float32), ("ep",),
-                         to="varying")
-    acc, _ = jax.lax.scan(body, acc0, (w13_l, w2_l, g_l.T))
-    return jax.lax.psum(acc, "ep").astype(x.dtype)
-
-e0 = jnp.arange(4, dtype=jnp.int32) * (E // 4)   # first expert id per chip
-f = shard_map(local, mesh=mesh,
-              in_specs=(P(), P(), P("ep"), P("ep"), P("ep")),
-              out_specs=P())
-got = jax.jit(f)(x, router_w, w13, w2, e0)
-err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
-assert err < 0.02, err
-print("ep OK", err)
+for mcfg in (MeshConfig(ep=4), MeshConfig(tp=2, ep=2, dp=2)):
+    mesh = build_mesh(mcfg, devices=jax.devices()[:mcfg.n_devices])
+    f = make_ep_moe_ffn(mesh, K)
+    got = f(x, router_w, w13, w2)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    assert err < 0.02, (mcfg, err)
+    print("ep OK", mcfg.shape, err)
+print("EP_ALL_OK")
 """
     out = _run_cpu(code)
-    assert "ep OK" in out
+    assert "EP_ALL_OK" in out
+
+
+def test_pipeline_parallel_train_matches_single_device():
+    """GPipe pipeline-parallel training (`parallel.pp`): loss AND gradients
+    through the (pp=2, dp=2) microbatch schedule must equal the
+    single-device `train.lm_loss` (the schedule is pure re-ordering — no
+    numeric deltas beyond bf16 noise), and `make_pp_train_step` must run."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, make_pp_train_step,
+                                        pipeline_lm_loss, shard_params_pp)
+from clusterfusion_tpu.train import lm_loss, make_optimizer
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params = model.init_params(cfg, jax.random.PRNGKey(0))
+B, T = 4, 16
+rng = np.random.RandomState(0)
+tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, T)), jnp.int32)
+targets = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, T)), jnp.int32)
+want = float(lm_loss(params, tokens, targets, cfg))
+g_ref = jax.grad(lm_loss)(params, tokens, targets, cfg)
+
+mesh = build_mesh(MeshConfig(pp=2, dp=2), devices=jax.devices()[:4])
+sp = shard_params_pp(params, cfg, mesh)
+got = float(jax.jit(
+    lambda p, a, b: pipeline_lm_loss(p, a, b, cfg, mesh, 2))(sp, tokens,
+                                                             targets))
+assert abs(want - got) < 1e-3, (want, got)
+
+g_pp = jax.grad(lambda p: pipeline_lm_loss(p, tokens, targets, cfg, mesh,
+                                           2))(sp)
+for leaf, a, b in (("embed", g_ref["embed"], g_pp["embed"]),
+                   ("lm_head", g_ref["lm_head"], g_pp["lm_head"]),
+                   ("w2", g_ref["layers"]["w2"], g_pp["layers"]["w2"]),
+                   ("wqkv_f", g_ref["layers"]["wqkv_f"],
+                    g_pp["layers"]["wqkv_f"])):
+    e = float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32)
+                              - jnp.asarray(b, jnp.float32))))
+    assert e < 2e-2, (leaf, e)
+
+step = make_pp_train_step(cfg, mesh, n_microbatches=2)
+opt = make_optimizer().init(sp)
+p2, opt, loss = step(sp, opt, tokens, targets)
+assert jnp.isfinite(loss)
+print("PP_OK", want, got)
+"""
+    out = _run_cpu(code)
+    assert "PP_OK" in out
 
 
 def test_sharded_serving_step_matches_single_device():
