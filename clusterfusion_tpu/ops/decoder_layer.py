@@ -154,6 +154,8 @@ def _decoder_layer_kernel(
                                   # chip sequence-parallel softmax merge
     append_kv: bool = False,      # write the new token's K/V into the cache
                                   # in-kernel (input_output_aliased)
+    window: int = 0,              # sliding-window attention: attend only the
+                                  # last `window` positions (0 = full context)
 ):
     it = iter(refs)
     wqkv_ref = next(it)
@@ -264,13 +266,27 @@ def _decoder_layer_kernel(
 
     # ---- chunk steps: online-softmax accumulation over the KV cache --------
     c = c_id - 1   # chunk index for steps >= 1
-    @pl.when(jnp.logical_and(c_id >= 1, c * kv_chunk < seq))
+    live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
+    if window:
+        # sliding window: the query (position seq) attends only positions
+        # >= lo = seq+1-window (Mistral semantics — the current token counts
+        # inside the window).  Chunks entirely below lo are skipped: no
+        # compute here, and kv_index_map clamps their block index up to the
+        # first in-window chunk so no KV bytes are fetched for them either.
+        lo = seq + 1 - window
+        live = jnp.logical_and(live, (c + 1) * kv_chunk > lo)
+
+    @pl.when(live)
     def _():
         pos_base = c * kv_chunk
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
         row_valid = (pos_base + row_iota) < seq
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
+        if window:
+            lo_ = seq + 1 - window
+            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= lo_)
+            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= lo_)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             # fp8 KV caches decode via the bit-twiddle re-bias; the 2**56
@@ -376,6 +392,7 @@ def _fused_decoder_layer(
     emit_partials: bool = False,
     fold_current=1,
     append_kv: bool = False,
+    window: int = 0,
 ):
     """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
     head_group):
@@ -433,6 +450,12 @@ def _fused_decoder_layer(
     def kv_index_map(g_i, c_i, s):
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
         c = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        if window:
+            # pre-window chunks re-reference the first in-window chunk's
+            # block: Pallas elides the repeat fetch, so out-of-window KV
+            # costs no HBM bytes (the kernel body skips their compute too)
+            first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            c = jnp.maximum(c, jnp.minimum(first, last))
         return (s[1], g_i, c, 0)
 
     if stacked:
@@ -532,7 +555,7 @@ def _fused_decoder_layer(
         hg=hg, group=group, head_dim=hd, kv_chunk=chunk,
         rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
         wq_kind=wq_kind, gs_q=gs_q, w4a8=kcfg.int4_w4a8,
-        emit_partials=emit_partials, append_kv=append_kv,
+        emit_partials=emit_partials, append_kv=append_kv, window=window,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \
@@ -647,7 +670,8 @@ def _prep_mha(weight_qkv, weight_o, k_cache, v_cache, heads, hd, hg,
     return wqkv_g, wo_g, kc, vc, seq
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "kernel_config"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "kernel_config", "window"))
 def llama_decoder_layer_sglang(
     input: jnp.ndarray,       # [1, hidden]
     residual: jnp.ndarray,    # [1, hidden]
@@ -660,10 +684,17 @@ def llama_decoder_layer_sglang(
     cos: jnp.ndarray,         # [head_dim/2]
     sin: jnp.ndarray,         # [head_dim/2]
     kernel_config: Optional[KernelConfig] = None,
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused layer, sglang variant: NEOX RoPE + fused residual-add + runtime
     eps, weights in torch Linear [out, in] layout.  Twin of the reference op
     `clusterfusion.llama_decoder_layer_sglang` (`pybind.cpp:14-25,111`).
+
+    ``window`` > 0 enables sliding-window attention (Mistral semantics: the
+    token at position seq attends positions >= seq+1-window only; the
+    reference is full-context-only).  Out-of-window KV chunks are skipped
+    in-kernel — no HBM fetch, no compute — so long-context decode cost is
+    bounded by the window, not the cache length.
 
     Returns (output, residual_out, k_new, v_new), each [1, hidden]
     (k_new/v_new flattened from [heads, head_dim])."""
@@ -680,7 +711,7 @@ def llama_decoder_layer_sglang(
     out, res_out, k_new, v_new = _fused_decoder_layer(
         input, residual, rms_w[None, :], cos_f, sin_f, wqkv_g, wo_g, kc, vc,
         seq, group=1, head_dim=hd, rope_style="neox", fuse_residual=True,
-        eps=eps, kcfg=kcfg, interpret=interpret_mode())
+        eps=eps, kcfg=kcfg, interpret=interpret_mode(), window=window)
     return out, res_out, k_new.reshape(1, hidden), v_new.reshape(1, hidden)
 
 

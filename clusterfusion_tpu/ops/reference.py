@@ -45,9 +45,16 @@ def fused_add_rmsnorm_ref(x: jnp.ndarray, residual: jnp.ndarray,
     return y.astype(x.dtype), h.astype(x.dtype)
 
 
-def _attend_single(q, K, V, head_dim):
-    """q: [heads, d]; K/V: [seq, heads, d] (fp32). Returns [heads, d]."""
+def _attend_single(q, K, V, head_dim, window: int = 0):
+    """q: [heads, d]; K/V: [seq, heads, d] (fp32). Returns [heads, d].
+
+    ``window`` > 0 = sliding-window attention (Mistral semantics): the query
+    at position seq-1 attends only positions >= seq-window."""
     scores = jnp.einsum("hd,shd->hs", q, K) / math.sqrt(head_dim)
+    if window:
+        seq = K.shape[0]
+        pos = jnp.arange(seq)
+        scores = jnp.where(pos[None, :] >= seq - window, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("hs,shd->hd", probs, V)
 
@@ -66,6 +73,7 @@ def llama_decoder_layer_sglang_ref(
     *,
     n_heads: int,
     head_dim: int,
+    window: int = 0,
 ):
     """Oracle for the sglang-variant fused layer: fused residual-add +
     RMSNorm + QKV + NEOX RoPE + decode attention + O-proj.
@@ -95,7 +103,7 @@ def llama_decoder_layer_sglang_ref(
         [k_cache.astype(jnp.float32).reshape(seq, n_heads, head_dim), k[None]], axis=0)
     V = jnp.concatenate(
         [v_cache.astype(jnp.float32).reshape(seq, n_heads, head_dim), v[None]], axis=0)
-    o = _attend_single(q, K, V, head_dim)
+    o = _attend_single(q, K, V, head_dim, window=window)
 
     output = o.reshape(1, hidden) @ weight_o.astype(jnp.float32).T
     dt = input.dtype

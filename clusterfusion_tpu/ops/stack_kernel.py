@@ -64,6 +64,7 @@ def _stack_kernel(
     bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
     kv_kind: str = "none", reduce_axis=None, lm_kind: str = "none",
+    window: int = 0,
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -230,14 +231,24 @@ def _stack_kernel(
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
     c = c_id - 1
-    @pl.when(jnp.logical_and(in_attn,
-                             jnp.logical_and(c_id >= 1, c * kv_chunk < seq)))
+    live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
+    if window:
+        # sliding window (Mistral semantics: attend positions >= seq+1-window
+        # only).  Chunks entirely below the window are skipped — the index
+        # map clamps their block to the first in-window chunk so they fetch
+        # no KV bytes, and this predicate skips their compute.
+        live = jnp.logical_and(live, (c + 1) * kv_chunk > seq + 1 - window)
+    @pl.when(jnp.logical_and(in_attn, live))
     def _():
         pos_base = c * kv_chunk
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
         row_valid = (pos_base + row_iota) < seq
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
+        if window:
+            lo_ = seq + 1 - window
+            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= lo_)
+            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= lo_)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             kc, kfix = _kv_tile(k_ref[0, h])
@@ -438,6 +449,7 @@ def fused_decoder_stack(
     final_norm=None,
     lm_head=None,
     reduce_axis=None,
+    window: int = 0,
 ):
     """One kernel call for the whole decoder stack (bs=1 decode).
 
@@ -569,6 +581,12 @@ def fused_decoder_stack(
         c_i = tt % (nc + 1)
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
         cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        if window:
+            # pre-window chunks alias the first in-window chunk's block —
+            # Pallas elides the repeat fetch, so out-of-window KV costs no
+            # HBM bytes (the kernel body skips their compute too)
+            first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            cix = jnp.maximum(cix, jnp.minimum(first, last))
         return (lx, g_of(ta), cix, 0)
 
     in_specs = [
