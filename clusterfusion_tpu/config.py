@@ -40,6 +40,13 @@ class LlamaConfig:
     max_seq_len: int = 2048
     # "neox" (rotate-half, sglang kernels) or "gptj" (interleaved, meta llama)
     rope_style: str = "gptj"
+    # Sliding-window attention (Mistral semantics): a token at position p
+    # attends positions >= p+1-window only.  0 = full context (the
+    # reference supports full context only).  Out-of-window KV chunks cost
+    # no HBM bytes in the fused kernels (see ops/stack_kernel.py).
+    sliding_window: int = 0
+    # QKV projection bias (Qwen2 family; llama/mistral have none).
+    qkv_bias: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -75,9 +82,19 @@ class LlamaConfig:
 
     @staticmethod
     def mistral_7b() -> "LlamaConfig":
+        # Mistral-7B-v0.1: sliding_window=4096 (HF config.json)
         return LlamaConfig(hidden_dim=4096, n_heads=32, n_kv_heads=8,
                            ffn_dim=14336, n_layers=32, vocab_size=32000,
-                           rope_theta=10000.0, rope_style="neox")
+                           rope_theta=10000.0, rope_style="neox",
+                           sliding_window=4096)
+
+    @staticmethod
+    def qwen2_7b() -> "LlamaConfig":
+        # Qwen2/2.5-7B (HF config.json): QKV bias, tied rope at 1e6
+        return LlamaConfig(hidden_dim=3584, n_heads=28, n_kv_heads=4,
+                           ffn_dim=18944, n_layers=28, vocab_size=152064,
+                           rope_theta=1000000.0, norm_eps=1e-6,
+                           rope_style="neox", qkv_bias=True)
 
     @staticmethod
     def tinyllama_1b() -> "LlamaConfig":

@@ -188,6 +188,8 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         rope_theta=hc.get("rope_theta", 10000.0),
         max_seq_len=max_seq_len,
         rope_style="neox",     # HF stores q/k pre-permuted for rotate-half
+        # mistral-family HF configs carry sliding_window (null = full ctx)
+        sliding_window=hc.get("sliding_window") or 0,
     )
     head_group = head_group or default_head_group(cfg, quant)
     state = _load_hf_state(model_dir)
@@ -195,7 +197,10 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
     def get(name):
         return jnp.asarray(state[name].astype(np.float32), dtype)
 
-    wqkv_l, wo_l, w13_l, w2_l, an_l, fn_l = [], [], [], [], [], []
+    has_bias = "model.layers.0.self_attn.q_proj.bias" in state
+    if has_bias:
+        cfg = LlamaConfig(**{**cfg.__dict__, "qkv_bias": True})
+    wqkv_l, wo_l, w13_l, w2_l, an_l, fn_l, bqkv_l = [], [], [], [], [], [], []
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         wqkv_f, wo_f = fuse_attention_weights(
@@ -206,6 +211,14 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
             head_group=head_group)
         wqkv_l.append(wqkv_f)
         wo_l.append(wo_f)
+        if has_bias:
+            # Qwen2-family QKV bias → grouped-column layout
+            from clusterfusion_tpu.models.llama import fuse_qkv_bias
+            bqkv_l.append(fuse_qkv_bias(
+                get(pre + "self_attn.q_proj.bias"),
+                get(pre + "self_attn.k_proj.bias"),
+                get(pre + "self_attn.v_proj.bias"), cfg,
+                head_group=head_group))
         w13, w2 = _pad_ffn(
             jnp.stack([get(pre + "mlp.gate_proj.weight").T,
                        get(pre + "mlp.up_proj.weight").T], axis=0),
@@ -226,6 +239,8 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         "final_norm": get("model.norm.weight"),
         "lm_head": jnp.asarray(lm_head.astype(np.float32), dtype).T,
     }
+    if has_bias:
+        params["layers"]["bqkv_f"] = jnp.stack(bqkv_l)
     return params, cfg
 
 

@@ -103,6 +103,20 @@ def fuse_attention_weights(wq, wk, wv, wo, cfg: LlamaConfig,
     return fuse_qkv_o_for_kernel(wqkv_per_head, wo_per_head, kv, g, hd, hg)
 
 
+def fuse_qkv_bias(bq, bk, bv, cfg: LlamaConfig,
+                  head_group: Optional[int] = None):
+    """Per-projection bias vectors (torch layout: bq [heads·hd],
+    bk/bv [kv·hd]) → the grouped-column layout [G, hg·(g+2)·hd] matching
+    ``fuse_attention_weights``'s wqkv_f columns (Qwen2 family)."""
+    kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
+    hg = head_group or default_head_group(cfg)
+    G = kv // hg
+    per_head = jnp.concatenate(
+        [bq.reshape(kv, g * hd), bk.reshape(kv, hd), bv.reshape(kv, hd)],
+        axis=-1)                                       # [kv, (g+2)·hd]
+    return per_head.reshape(G, hg * (g + 2) * hd)
+
+
 def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
                 head_group: Optional[int] = None) -> LlamaParams:
     """Random-init params in the fused layout (layer arrays stacked on axis
@@ -132,6 +146,10 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": norm(ks[5], (h, V), h),
     }
+    if cfg.qkv_bias:
+        # Qwen2-family QKV bias, grouped-column layout matching wqkv_f
+        params["layers"]["bqkv_f"] = \
+            norm(ks[6], (L, G, hg * (g + 2) * hd), hd)
     return params
 
 
@@ -207,14 +225,18 @@ def _ffn(x, w13, w2):
     return jnp.dot(act, w2, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _qkv_eager(x, wqkv_f, cfg: LlamaConfig):
+def _qkv_eager(x, wqkv_f, cfg: LlamaConfig, bias=None):
     """x [B?, T, h] → q [.., T, kv, g, hd], k/v [.., T, kv, hd] from the
     head-grouped fused layout [G, h, hg·(g+2)·hd] (no un-transpose: the
-    grouped columns are head-major, so a reshape recovers per-head)."""
+    grouped columns are head-major, so a reshape recovers per-head).
+    ``bias`` [G, hg·(g+2)·hd]: optional QKV projection bias in the same
+    grouped-column layout (Qwen2-family; llama/mistral have none)."""
     g, hd, kv = cfg.n_heads // cfg.kv_heads, cfg.head_dim_, cfg.kv_heads
     wqkv_f = maybe_dequantize(wqkv_f, x.dtype)
     y = jnp.einsum("...td,Gdc->...tGc", x, wqkv_f,
                    preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     y = y.reshape(*y.shape[:-2], kv, (g + 2) * hd)
     q = y[..., : g * hd].reshape(*y.shape[:-1], g, hd)
     k = y[..., g * hd:(g + 1) * hd]
@@ -282,7 +304,7 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         h = carry
         p, kc_l, vc_l = xs
         xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
-        q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [1,T,kv,g,hd]
+        q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg, p.get("bqkv_f"))         # q [1,T,kv,g,hd]
         q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
                         cfg.rope_style)
         k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
@@ -297,7 +319,8 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
             k_ctx, v_ctx = k_new, v_new                    # [kv, S, hd]
         if flash:
             o4 = flash_prefill_attention(q[0].transpose(1, 0, 2, 3),
-                                         k_ctx, v_ctx, q_offset=pos0)
+                                         k_ctx, v_ctx, q_offset=pos0,
+                                         window=cfg.sliding_window)
             o = o4.transpose(1, 0, 2, 3)[None]             # [1,T,kv,g,hd]
         else:
             # f32 oracle math (also sidesteps CPU XLA's unsupported
@@ -308,6 +331,8 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
             qpos = pos0 + jnp.arange(T)[:, None]
             kpos = jnp.arange(pos0 + T)[None, :]
             mask = kpos <= qpos                            # [T, S]
+            if cfg.sliding_window:
+                mask &= kpos > qpos - cfg.sliding_window
             scores = jnp.where(mask[None, None, None], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("bkgts,ksd->btkgd", probs,
@@ -357,7 +382,7 @@ def layer_forward(h, p, cos, sin, mask, cfg: LlamaConfig):
     B, T = h.shape[0], h.shape[1]
     kv, g, hd = cfg.kv_heads, cfg.n_heads // cfg.kv_heads, cfg.head_dim_
     xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
-    q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg)         # q [B,T,kv,g,hd]
+    q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg, p.get("bqkv_f"))         # q [B,T,kv,g,hd]
     q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
                     cfg.rope_style)
     k = _apply_rope(k, cos[..., None, :], sin[..., None, :], cfg.rope_style)
@@ -389,6 +414,9 @@ def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
     cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
     h = params["embed"][tokens]                            # [B, T, hidden]
     mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    if cfg.sliding_window:
+        mask &= jnp.triu(jnp.ones((T, T), jnp.bool_),
+                         k=1 - cfg.sliding_window)
 
     h, _ = jax.lax.scan(
         lambda h, p: (layer_forward(h, p, cos, sin, mask, cfg), None),
@@ -470,7 +498,7 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         p, l = xs
         xn, residual = fused_add_rmsnorm_ref(x, residual, p["attn_norm"],
                                              cfg.norm_eps)
-        q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg)    # q [1,1,kv,g,hd]
+        q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg, p.get("bqkv_f"))    # q [1,1,kv,g,hd]
         q = _apply_rope(q, cos[0], sin[0], cfg.rope_style)
         k = _apply_rope(k, cos[0], sin[0], cfg.rope_style)
         kc = _cache_append(kc, k[0].transpose(1, 0, 2), l, pos)
@@ -481,6 +509,9 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         scores = jnp.einsum("kgd,ksd->kgs", q[0, 0], kl,
                             preferred_element_type=jnp.float32) * scale
         valid = jnp.arange(kl.shape[1])[None, None] <= pos
+        if cfg.sliding_window:
+            # Mistral semantics: position `pos` attends >= pos+1-window only
+            valid &= jnp.arange(kl.shape[1])[None, None] > pos - cfg.sliding_window
         scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         o = jnp.einsum("kgs,ksd->kgd", probs, vl,
@@ -506,7 +537,8 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
                 lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
                 k_cache, v_cache, pos, group=g, head_dim=hd,
                 rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
-                interpret=interpret_mode(),
+                interpret=interpret_mode(), window=cfg.sliding_window,
+                bias_qkv=lw.get("bqkv_f"),
                 final_norm=params["final_norm"], lm_head=params["lm_head"])
             return logits[0], k_cache, v_cache
         x, residual, k_cache, v_cache = fused_decoder_stack(
@@ -514,7 +546,8 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
             lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
             k_cache, v_cache, pos, group=g, head_dim=hd,
             rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
-            interpret=interpret_mode())
+            interpret=interpret_mode(), window=cfg.sliding_window,
+            bias_qkv=lw.get("bqkv_f"))
         x = x.astype(params["embed"].dtype)
         residual = residual.astype(x.dtype)
     else:

@@ -87,7 +87,9 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         lw = params["layers"]
         common = dict(group=g, head_dim=hd, rope_style=cfg.rope_style,
                       eps=cfg.norm_eps, kcfg=kcfg,
-                      interpret=interpret_mode())
+                      interpret=interpret_mode(),
+                      window=cfg.sliding_window,
+                      bias_qkv=lw.get("bqkv_f"))
         if _vocab_block(cfg.vocab_size) > 0:
             logits, _, k_cache, v_cache = fused_verify_stack(
                 x, lw["attn_norm"], lw["ffn_norm"], cos2, sin2,
@@ -117,7 +119,7 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
             params["layers"])
         xn, residual = fused_add_rmsnorm_ref(x, residual, p["attn_norm"],
                                              cfg.norm_eps)
-        q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg)   # q [1,n,kv,g,hd]
+        q, k, v = _qkv_eager(xn[None], p["wqkv_f"], cfg, p.get("bqkv_f"))   # q [1,n,kv,g,hd]
         q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
                         cfg.rope_style)
         k = _apply_rope(k, cos[..., None, :], sin[..., None, :],
@@ -133,8 +135,11 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         scale = 1.0 / jnp.sqrt(jnp.float32(hd))
         scores = jnp.einsum("tkgd,ksd->kgts", q[0].astype(jnp.float32),
                             kl.astype(jnp.float32)) * scale
-        valid = (jnp.arange(kl.shape[1])[None, None, None, :]
-                 <= pos + jnp.arange(n)[None, None, :, None])
+        qpos = pos + jnp.arange(n)[None, None, :, None]
+        kpos = jnp.arange(kl.shape[1])[None, None, None, :]
+        valid = kpos <= qpos
+        if cfg.sliding_window:
+            valid &= kpos > qpos - cfg.sliding_window
         scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("kgts,ksd->tkgd", probs,

@@ -51,7 +51,8 @@ _NEG_INF = -1e30
 
 def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                           *, bq: int, bk: int, group: int, head_dim: int,
-                          n_kb: int, q_offset: int, scale: float):
+                          n_kb: int, q_offset: int, scale: float,
+                          window: int = 0):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     rows = bq * group
@@ -64,8 +65,19 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     # A key block is needed iff its first key position is <= the last query
     # position of this q block (causal upper-triangle blocks are skipped;
-    # their DMA is clamped to the last needed block by the index maps).
-    @pl.when(kb * bk <= q_offset + (qb + 1) * bq - 1)
+    # their DMA is clamped to the last needed block by the index maps) and,
+    # under sliding-window attention, its last key position is inside the
+    # window of the block's FIRST query — the query with the lowest window
+    # bound (blocks entirely below every query's window are skipped; the
+    # index maps alias their DMA to the first needed block so they cost no
+    # HBM bytes).
+    needed = kb * bk <= q_offset + (qb + 1) * bq - 1
+    if window:
+        needed = jnp.logical_and(
+            needed,
+            (kb + 1) * bk - 1 >= q_offset + qb * bq + 1 - window)
+
+    @pl.when(needed)
     def _():
         q = q_ref[...].reshape(rows, head_dim)
         k = k_ref[...].reshape(bk, head_dim)
@@ -78,7 +90,11 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         c = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
         qpos = q_offset + qb * bq + r // group
         kpos = kb * bk + c
-        scores = jnp.where(kpos <= qpos, scores, _NEG_INF)
+        live = kpos <= qpos
+        if window:
+            # Mistral semantics: query p attends keys >= p+1-window only
+            live = jnp.logical_and(live, kpos > qpos - window)
+        scores = jnp.where(live, scores, _NEG_INF)
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
@@ -95,15 +111,19 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(kb == n_kb - 1)
     def _():
-        # every row has l > 0: its diagonal key (kpos == qpos) always
-        # contributed, so the divide is NaN-free even for padded rows
-        out = acc_ref[...] / l_ref[:, :1]
+        # every REAL row has l > 0: its diagonal key (kpos == qpos) always
+        # contributed (in-window for any window >= 1).  Padded tail rows
+        # under a small window can end with l == 0 (their diagonal lies
+        # beyond the padded key range); guard the divide — those rows are
+        # sliced off by the caller.
+        l = l_ref[:, :1]
+        out = acc_ref[...] / (jnp.maximum(l, 1e-30) if window else l)
         o_ref[...] = out.reshape(1, bq, group, head_dim).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("q_offset", "block_q", "block_k", "interpret"))
+    static_argnames=("q_offset", "block_q", "block_k", "window", "interpret"))
 def flash_prefill_attention(
     q: jnp.ndarray,             # [kv_heads, T, group, head_dim]
     k: jnp.ndarray,             # [kv_heads, S, head_dim], S >= q_offset + T
@@ -112,6 +132,7 @@ def flash_prefill_attention(
     q_offset: int = 0,
     block_q: int = 256,
     block_k: int = 512,
+    window: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Causal (chunk-offset) GQA attention over full K/V context.
@@ -120,6 +141,12 @@ def flash_prefill_attention(
     ``0 .. q_offset + i``.  Keys beyond ``q_offset + T - 1`` are never
     read (causality), so callers may pass a padded K/V buffer.
     Returns ``[kv_heads, T, group, head_dim]`` in q's dtype.
+
+    ``window`` > 0 = sliding-window attention (Mistral semantics: query p
+    attends keys ``p+1-window .. p`` only; 0 = full causal).  Key blocks
+    entirely below every query's window are skipped AND their DMA aliases
+    the first needed block, so long-prompt prefill cost is O(T·window),
+    not O(T²).
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -145,12 +172,19 @@ def flash_prefill_attention(
 
     def kv_im(h, qb, kb):
         last = (q_offset + (qb + 1) * bq - 1) // bk
-        return (h, jnp.minimum(kb, last), 0)
+        kb = jnp.minimum(kb, last)
+        if window:
+            # below-window blocks alias the first needed block (Pallas
+            # elides the repeat fetch → no HBM bytes for skipped history)
+            first = jnp.maximum(q_offset + qb * bq + 1 - window, 0) // bk
+            kb = jnp.maximum(kb, jnp.minimum(first, last))
+        return (h, kb, 0)
 
     out = pl.pallas_call(
         functools.partial(
             _flash_prefill_kernel, bq=bq, bk=bk, group=group, head_dim=hd,
-            n_kb=n_kb, q_offset=q_offset, scale=1.0 / (hd ** 0.5)),
+            n_kb=n_kb, q_offset=q_offset, scale=1.0 / (hd ** 0.5),
+            window=window),
         grid=(kv_heads, n_qb, n_kb),
         in_specs=[
             pl.BlockSpec((1, bq, group, hd), lambda h, qb, kb: (h, qb, 0, 0),

@@ -64,13 +64,14 @@ def _stack_kernel(
     bf: int, nb: int, hidden: int, L: int, nv: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
     kv_kind: str = "none", reduce_axis=None, lm_kind: str = "none",
-    window: int = 0,
+    window: int = 0, with_bias: bool = False,
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
+    bqkv_ref = next(it) if with_bias else None
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
     w13_ref = next(it)
@@ -175,6 +176,9 @@ def _stack_kernel(
                           preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:
             qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q, w4a8)
+        if with_bias:
+            # Qwen2-family QKV bias, added pre-rope (part of the linear)
+            qkv = qkv + _m2(bqkv_ref).astype(f32)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -450,6 +454,7 @@ def fused_decoder_stack(
     lm_head=None,
     reduce_axis=None,
     window: int = 0,
+    bias_qkv=None,
 ):
     """One kernel call for the whole decoder stack (bs=1 decode).
 
@@ -478,6 +483,17 @@ def fused_decoder_stack(
     next layer's QKV prefetch) — `dsm.cuh:89-169` fused into the megakernel.
     With ``lm_head`` given it must be the local vocab shard (logits return
     vocab-sharded).
+
+    ``window``: sliding-window attention size (Mistral semantics — the new
+    token attends positions ``>= seq+1-window`` only; 0 = full context).
+    Out-of-window KV chunks cost no HBM bytes: the index map aliases their
+    block to the first in-window chunk (Pallas elides the repeat fetch)
+    and the kernel body skips their compute.  ``window >= seq+1`` must
+    equal full attention exactly (tested).
+
+    ``bias_qkv`` [L, G, hg·(group+2)·hd]: optional QKV projection bias in
+    the grouped-column layout (Qwen2 family), added pre-rope in the QKV
+    phase.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -614,6 +630,10 @@ def fused_decoder_stack(
         add(wqkv_s, pl.BlockSpec((1, 1, wqkv_s.shape[-2], qkv_cols),
                                  lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                                  memory_space=pltpu.VMEM))
+    if bias_qkv is not None:
+        add(bias_qkv, pl.BlockSpec((1, 1, qkv_cols),
+                                   lambda ta, s: (l_of(ta), g_of(ta), 0),
+                                   memory_space=pltpu.VMEM))
     add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
                            lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                            memory_space=pltpu.VMEM))
@@ -716,7 +736,8 @@ def fused_decoder_stack(
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none",
-        reduce_axis=reduce_axis, lm_kind=lm_kind)
+        reduce_axis=reduce_axis, lm_kind=lm_kind, window=window,
+        with_bias=bias_qkv is not None)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

@@ -60,13 +60,14 @@ def _verify_kernel(
     G: int, bf: int, nb: int, hidden: int, L: int, nv: int, Wr: int,
     rope_style: str, eps: float, wq_kind: str, gs_q: int,
     w4a8: bool = True, kv_kind: str = "none", Sr: int = 8,
-    lm_kind: str = "none",
+    lm_kind: str = "none", window: int = 0, with_bias: bool = False,
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
+    bqkv_ref = next(it) if with_bias else None
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
     w13_ref = next(it)
@@ -163,6 +164,9 @@ def _verify_kernel(
         else:
             qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q,
                             w4a8)
+        if with_bias:
+            # Qwen2-family QKV bias, added pre-rope (part of the linear)
+            qkv = qkv + _m2(bqkv_ref).astype(f32)
         cos_f = cos_ref[...].astype(f32)               # [n, hd] per-row
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -221,14 +225,28 @@ def _verify_kernel(
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
     c = c_id - 1
-    @pl.when(jnp.logical_and(in_attn,
-                             jnp.logical_and(c_id >= 1, c * kv_chunk < seq)))
+    chunk_live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
+    if window:
+        # sliding window: the draft token at position seq+tok attends
+        # >= seq+tok+1-window only.  Chunks entirely below token 0's
+        # window (the lowest bound) are skipped — the index map aliases
+        # their block, and every column is masked out below anyway.
+        chunk_live = jnp.logical_and(
+            chunk_live, (c + 1) * kv_chunk > seq + 1 - window)
+    @pl.when(jnp.logical_and(in_attn, chunk_live))
     def _():
         pos_base = c * kv_chunk
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (kv_chunk, 1), 0)
         row_valid = (pos_base + row_iota) < seq
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group * n, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
+        if window:
+            # per-row window bound: panel row -> draft token = row % n,
+            # query position = seq + tok
+            qpos = seq + jax.lax.broadcasted_iota(
+                jnp.int32, (group * n, kv_chunk), 0) % n
+            col_valid = jnp.logical_and(col_valid,
+                                        (pos_base + col_iota) > qpos - window)
         for h in range(hg):
             r0 = h * group * n
             q = q_s[r0:r0 + group * n, :].astype(jnp.bfloat16)
@@ -268,6 +286,9 @@ def _verify_kernel(
         qtok = jax.lax.broadcasted_iota(jnp.int32, (group * n, n), 0) % n
         ktok = jax.lax.broadcasted_iota(jnp.int32, (group * n, n), 1)
         causal = ktok <= qtok
+        if window:
+            # (positions seq+qtok / seq+ktok; the seq offsets cancel)
+            causal = jnp.logical_and(causal, ktok > qtok - window)
         o_rows = []
         for h in range(hg):
             r0 = h * group * n
@@ -393,6 +414,8 @@ def fused_verify_stack(
     interpret=None,
     final_norm=None,
     lm_head=None,
+    window: int = 0,
+    bias_qkv=None,
 ):
     """One kernel call scoring n tokens through the whole decoder stack.
 
@@ -401,6 +424,11 @@ def fused_verify_stack(
     ``pos + n + 8 <= capacity`` (the append RMW window must fit).
     Returns (x_out [n, hidden] | logits [n, vocab], residual_out,
     k_cache', v_cache') with all n K/V rows appended per layer.
+
+    ``window``: sliding-window attention (Mistral semantics, matching
+    ``fused_decoder_stack``): the draft token at position pos+i attends
+    positions >= pos+i+1-window only; 0 = full context.  Keeps draft
+    scoring consistent with windowed decode.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -497,6 +525,13 @@ def fused_verify_stack(
         c_i = tt % (nc + 1)
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
         cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        if window:
+            # chunks entirely below draft token 0's window (the lowest
+            # bound of the n queries) alias the first in-window chunk —
+            # Pallas elides the repeat fetch and the kernel body masks
+            # their columns out (`_verify_kernel` chunk_live/col_valid)
+            first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            cix = jnp.maximum(cix, jnp.minimum(first, last))
         return (lx, g_of(ta), cix, 0)
 
     in_specs = [
@@ -522,6 +557,10 @@ def fused_verify_stack(
         add(wqkv_s, pl.BlockSpec((1, 1, wqkv_s.shape[-2], qkv_cols),
                                  lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                                  memory_space=pltpu.VMEM))
+    if bias_qkv is not None:
+        add(bias_qkv, pl.BlockSpec((1, 1, qkv_cols),
+                                   lambda ta, s: (l_of(ta), g_of(ta), 0),
+                                   memory_space=pltpu.VMEM))
     add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
                            lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                            memory_space=pltpu.VMEM))
@@ -619,7 +658,7 @@ def fused_verify_stack(
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv, Wr=Wr,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none", Sr=Sr,
-        lm_kind=lm_kind)
+        lm_kind=lm_kind, window=window, with_bias=bias_qkv is not None)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))
