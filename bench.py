@@ -361,7 +361,7 @@ def main():
     kv8_tps = {}
     fp8_tps = {}
     serving_tps = serving_fused_tps = kv8_4k_tps = kv8_8k_tps = None
-    fp8_4k_tps = fp8_8k_tps = serving_fp8_tps = None
+    fp8_4k_tps = fp8_8k_tps = serving_fp8_tps = win_8k_tps = None
     for kind in ("int8", "int4"):
         try:
             qparams = _synth_quant_params(cfg, kind)
@@ -417,6 +417,16 @@ def main():
                                               prompt_len=pl8)
                 except Exception as e:  # pragma: no cover
                     print(f"# int4+8bitkv 8K bench failed: {e!r}", flush=True)
+                try:
+                    # Mistral-style sliding window 4096 at the same 8K live
+                    # context: the index maps stream only the in-window KV,
+                    # so this should track the 4K-ctx number, not the 8K one
+                    cfg8kw = dataclasses.replace(cfg8k, sliding_window=4096)
+                    win_8k_tps = _time_decode(qparams, cfg8kw, n_gen,
+                                              fused=True, kv_dtype="int8",
+                                              prompt_len=pl8)
+                except Exception as e:  # pragma: no cover
+                    print(f"# windowed 8K bench failed: {e!r}", flush=True)
             if kind == "int8" and not small:
                 try:
                     serving_tps = _time_serving(qparams, cfg, B=8)
@@ -522,6 +532,8 @@ def main():
         if kv8_tps.get("int4") else None,
         "int8_int8kv_4kctx_tokens_per_s": round(kv8_4k_tps, 2)
         if kv8_4k_tps else None,
+        "int4_int8kv_8kctx_win4k_tokens_per_s": round(win_8k_tps, 2)
+        if win_8k_tps else None,
         "int4_int8kv_8kctx_tokens_per_s": round(kv8_8k_tps, 2)
         if kv8_8k_tps else None,
         "int8_fp8kv_tokens_per_s": round(fp8_tps["int8"], 2)

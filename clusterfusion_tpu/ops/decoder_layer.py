@@ -156,10 +156,12 @@ def _decoder_layer_kernel(
                                   # in-kernel (input_output_aliased)
     window: int = 0,              # sliding-window attention: attend only the
                                   # last `window` positions (0 = full context)
+    with_bias: bool = False,      # QKV projection bias operand (Qwen2)
 ):
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
+    bqkv_ref = next(it) if with_bias else None
     wo_ref = next(it) if not emit_partials else None
     wo_s_ref = next(it) if (wq_kind != "none" and not emit_partials) else None
     k_ref, v_ref = next(it), next(it)
@@ -207,6 +209,9 @@ def _decoder_layer_kernel(
                           preferred_element_type=f32) * _m2(wqkv_s_ref)
         else:  # int4
             qkv = _int4_dot(xn, _m2(wqkv_ref), _m2(wqkv_s_ref), gs_q, w4a8)
+        if with_bias:
+            # Qwen2-family QKV bias, added pre-rope (part of the linear)
+            qkv = qkv + _m2(bqkv_ref).astype(f32)
         cos_f = cos_ref[...].astype(f32)
         sin_f = sin_ref[...].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -393,6 +398,7 @@ def _fused_decoder_layer(
     fold_current=1,
     append_kv: bool = False,
     window: int = 0,
+    bias_qkv=None,    # [L?, G, hg·(group+2)·hd] QKV bias (Qwen2 family)
 ):
     """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
     head_group):
@@ -485,6 +491,16 @@ def _fused_decoder_layer(
     if wq_kind != "none":
         in_specs.append(_g_spec(wqkv_s.shape[-2], qkv_cols))
         inputs.append(wqkv_s)
+    if bias_qkv is not None:
+        if stacked:
+            in_specs.append(pl.BlockSpec((1, 1, qkv_cols),
+                                         lambda g, c, s: (s[1], g, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((1, qkv_cols),
+                                         lambda g, c, s: (g, 0),
+                                         memory_space=pltpu.VMEM))
+        inputs.append(bias_qkv)
     if not emit_partials:
         in_specs.append(_g_spec(wo_rows // pack, hidden))
         inputs.append(wo_q)
@@ -556,6 +572,7 @@ def _fused_decoder_layer(
         rope_style=rope_style, fuse_residual=fuse_residual, eps=eps,
         wq_kind=wq_kind, gs_q=gs_q, w4a8=kcfg.int4_w4a8,
         emit_partials=emit_partials, append_kv=append_kv, window=window,
+        with_bias=bias_qkv is not None,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \

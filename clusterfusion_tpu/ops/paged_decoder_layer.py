@@ -72,10 +72,12 @@ def _paged_kernel(
     gs_q: int = 0,
     append: bool = False,
     gather: bool = True,
+    with_bias: bool = False,
 ):
     it = iter(refs)
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
+    bqkv_ref = next(it) if with_bias else None
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
     k_any_ref, v_any_ref = next(it), next(it)
@@ -146,6 +148,9 @@ def _paged_kernel(
         else:
             wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
             qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+        if with_bias:
+            # Qwen2-family QKV bias, added pre-rope (part of the linear)
+            qkv = qkv + _m2(bqkv_ref).astype(f32)
         cos_f = cos_ref[0].astype(f32)
         sin_f = sin_ref[0].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -311,6 +316,7 @@ def llama_decoder_layer_paged(
     kcfg: KernelConfig = KernelConfig(),
     update_pool: bool = True,
     interpret=None,
+    bias_qkv=None,
 ):
     """TPU-native paged batch-decode fused layer.
 
@@ -396,6 +402,17 @@ def llama_decoder_layer_paged(
     if wq_kind != "none":
         in_specs.append(wspec(wqkv_s.shape[-2], qkv_cols))
         inputs.append(wqkv_s)
+    if bias_qkv is not None:
+        # [L, G, cols] stacked / [G, cols] single-layer (Qwen2 QKV bias)
+        if stacked:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, qkv_cols), lambda b, g, c, *s: (s[0][0], g, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, qkv_cols), lambda b, g, c, *s: (g, 0),
+                memory_space=pltpu.VMEM))
+        inputs.append(bias_qkv)
     in_specs.append(wspec(wo_rows // pack, hidden))
     inputs.append(wo_g)
     if wq_kind != "none":
@@ -468,7 +485,8 @@ def llama_decoder_layer_paged(
     kernel = functools.partial(
         _paged_kernel, hg=hg, group=group, head_dim=hd, page=page, npp=npp,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
-        append=in_kernel_append, gather=gather)
+        append=in_kernel_append, gather=gather,
+        with_bias=bias_qkv is not None)
 
     results = pl.pallas_call(
         kernel,

@@ -87,7 +87,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 lw["wqkv_f"], lw["wo_f"], kc, vc, pos, l,
                 group=g, head_dim=hd, rope_style=cfg.rope_style,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
-                interpret=interpret_mode(), append_kv=True)
+                interpret=interpret_mode(), append_kv=True,
+                window=cfg.sliding_window, bias_qkv=lw.get("bqkv_f"))
             # ICI all-reduce of the row-parallel O-projection — the chip-
             # scope Stage::ATTN reduce (`kernel.cuh:561-568`).
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
@@ -148,7 +149,8 @@ def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
             k_cache, v_cache, pos,
             group=g, head_dim=hd, rope_style=cfg.rope_style,
             eps=cfg.norm_eps, kcfg=kcfg, interpret=interp,
-            reduce_axis="tp")
+            reduce_axis="tp", window=cfg.sliding_window,
+            bias_qkv=lw.get("bqkv_f"))
         # x_out/res_out are fully reduced and replicated: the final norm +
         # vocab-sharded LM head need no further collective
         xn, _ = fused_add_rmsnorm_ref(x_out, res_out, params["final_norm"],
@@ -218,6 +220,8 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
             y = jnp.einsum("bd,Gdc->bGc", xn, idx(lw["wqkv_f"], l),
                            preferred_element_type=jnp.float32
                            ).astype(x.dtype)
+            if "bqkv_f" in lw:                        # Qwen2 QKV bias
+                y = y + idx(lw["bqkv_f"], l)[None].astype(y.dtype)
             y = y.reshape(B, kv_local, (g + 2) * hd)
             q = y[..., : g * hd].reshape(B, kv_local, g, hd)
             k = y[..., g * hd:(g + 1) * hd]

@@ -59,6 +59,8 @@ def pp_param_pspecs(cfg: LlamaConfig) -> Dict[str, Any]:
         "attn_norm": P("pp", None),
         "ffn_norm": P("pp", None),
     }
+    if cfg.qkv_bias:
+        lp["bqkv_f"] = P("pp", None, None)
     return {"embed": P(), "layers": lp, "final_norm": P(), "lm_head": P()}
 
 

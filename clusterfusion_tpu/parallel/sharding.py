@@ -30,7 +30,7 @@ def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
     NamedSharding construction)."""
     assert cfg.kv_heads % tp == 0, f"tp={tp} must divide kv_heads={cfg.kv_heads}"
     assert cfg.ffn_dim % tp == 0
-    return {
+    specs = {
         "embed": P(None, None),
         "layers": {
             "wqkv_f": P(None, "tp", None, None),
@@ -43,6 +43,10 @@ def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
     }
+    if cfg.qkv_bias:
+        # [L, G, hg·(g+2)·hd] — G rides tp like wqkv_f's group axis
+        specs["layers"]["bqkv_f"] = P(None, "tp", None)
+    return specs
 
 
 def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:

@@ -94,7 +94,8 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 group=g, head_dim=hd, rope_style=cfg.rope_style,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode(),
-                emit_partials=True, fold_current=fold)
+                emit_partials=True, fold_current=fold,
+                bias_qkv=p.get("bqkv_f"))
             # chip-scope softmax merge over sp (kernel.cuh:506-551 algebra)
             m, lsum = ml[0], ml[1]                     # [rows_local]
             m_g = jax.lax.pmax(m, "sp")

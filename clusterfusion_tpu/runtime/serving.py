@@ -103,7 +103,7 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
             x, res, lw["wqkv_f"], lw["wo_f"], block_table, seq_lens,
             positions, kp, vp, l, an[None], cfg.norm_eps,
             cos_t, sin_t, group=g, rope_style=cfg.rope_style, kcfg=kcfg,
-            interpret=interpret_mode())
+            interpret=interpret_mode(), bias_qkv=lw.get("bqkv_f"))
         fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                           keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
@@ -226,6 +226,8 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                                           keepdims=False)
         xn, res = fused_add_rmsnorm_ref(x, res, an, cfg.norm_eps)
         y = qkv_dot(xn, idx(lw["wqkv_f"], l))         # [B, G, hg*(g+2)*hd]
+        if "bqkv_f" in lw:                            # Qwen2 QKV bias
+            y = y + idx(lw["bqkv_f"], l)[None].astype(y.dtype)
         y = y.reshape(B, kv, (g + 2) * hd)
         q = y[..., : g * hd].reshape(B, kv, g, hd)
         k = y[..., g * hd:(g + 1) * hd]
