@@ -73,6 +73,10 @@ def _paged_kernel(
     append: bool = False,
     gather: bool = True,
     with_bias: bool = False,
+    window: int = 0,      # sliding-window attention (Mistral semantics):
+                          # the query at position seq attends positions
+                          # >= seq+1-window only; 0 = full context.
+                          # Below-window page windows are never gathered.
 ):
     it = iter(refs)
     wqkv_ref = next(it)
@@ -137,8 +141,16 @@ def _paged_kernel(
         if gather:
             @pl.when(seq > 0)
             def _():
-                for cp in window_copies(0, 0):
-                    cp.start()
+                if window:
+                    # kick off the FIRST IN-WINDOW chunk's gather (buffer
+                    # parity keyed to the chunk ordinal, matching the
+                    # compute loop's rem(c, 2))
+                    w0 = jnp.maximum(seq + 1 - window, 0) // chunk
+                    for cp in window_copies(w0, jax.lax.rem(w0, 2)):
+                        cp.start()
+                else:
+                    for cp in window_copies(0, 0):
+                        cp.start()
         xn = xnorm_s[...].astype(jnp.bfloat16)
         if wq_kind == "none":
             qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
@@ -173,7 +185,13 @@ def _paged_kernel(
 
     # ---- page-window steps: online softmax over this request's pages --------
     c = c_id - 1
-    @pl.when(jnp.logical_and(c_id >= 1, c * chunk < seq))
+    chunk_live = jnp.logical_and(c_id >= 1, c * chunk < seq)
+    if window:
+        # chunks entirely below the window are skipped: no gather DMA was
+        # started for them (see the w0 kick-off) and no compute runs
+        chunk_live = jnp.logical_and(chunk_live,
+                                     (c + 1) * chunk > seq + 1 - window)
+    @pl.when(chunk_live)
     def _():
         if gather:
             buf = jax.lax.rem(c, 2)
@@ -189,6 +207,12 @@ def _paged_kernel(
         row_valid = (pos_base + row_iota) < seq
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, chunk), 1)
         col_valid = (pos_base + col_iota) < seq
+        if window:
+            # positions below seq+1-window inside the first in-window
+            # chunk mask out (the current token at `seq` is handled by
+            # the final step and is always in-window)
+            col_valid = jnp.logical_and(
+                col_valid, (pos_base + col_iota) > seq - window)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             # fp8 pools decode via the bit-twiddle re-bias (see ops.quant);
@@ -317,6 +341,7 @@ def llama_decoder_layer_paged(
     update_pool: bool = True,
     interpret=None,
     bias_qkv=None,
+    window: int = 0,
 ):
     """TPU-native paged batch-decode fused layer.
 
@@ -420,7 +445,13 @@ def llama_decoder_layer_paged(
         inputs.append(wo_s)
     def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
         last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
-        pg = table_s[b, jnp.minimum(jnp.maximum(c - 1, 0), last)]
+        j = jnp.minimum(jnp.maximum(c - 1, 0), last)
+        if window:
+            # below-window pages alias the first in-window page (their
+            # fetch is elided; the kernel body skips their compute)
+            first = jnp.maximum(lens_s[b] + 1 - window, 0) // page
+            j = jnp.maximum(j, jnp.minimum(first, last))
+        pg = table_s[b, j]
         return (meta_s[0], pg, g, 0, 0)
 
     if gather:
@@ -486,7 +517,7 @@ def llama_decoder_layer_paged(
         _paged_kernel, hg=hg, group=group, head_dim=hd, page=page, npp=npp,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         append=in_kernel_append, gather=gather,
-        with_bias=bias_qkv is not None)
+        with_bias=bias_qkv is not None, window=window)
 
     results = pl.pallas_call(
         kernel,
@@ -623,6 +654,7 @@ def _paged_attn_kernel(
     acc_s, ml_s, kwin_s, vwin_s, win_sem, krow_s, vrow_s, row_sem,
     *,
     kv_heads: int, group: int, head_dim: int, page: int, npp: int,
+    window: int = 0,
 ):
     b_id = pl.program_id(0)
     c_id = pl.program_id(1)
@@ -672,9 +704,21 @@ def _paged_attn_kernel(
 
         @pl.when(n_past > 0)
         def _():
-            start_window(0, 0)
+            if window:
+                # start at the first in-window chunk (buffer parity keyed
+                # to the chunk ordinal, matching the compute loop)
+                w0 = jnp.maximum(n_past + 1 - window, 0) // chunk
+                start_window(w0, jax.lax.rem(w0, 2))
+            else:
+                start_window(0, 0)
 
-    @pl.when(jnp.logical_and(c_id >= 1, (c_id - 1) * chunk < n_past))
+    _live = jnp.logical_and(c_id >= 1, (c_id - 1) * chunk < n_past)
+    if window:
+        # chunks entirely below the window: no gather was started, no
+        # compute runs (the query sits at position n_past — Mistral
+        # semantics: attend >= n_past+1-window only)
+        _live = jnp.logical_and(_live, c_id * chunk > n_past + 1 - window)
+    @pl.when(_live)
     def _():
         c = c_id - 1
         buf = jax.lax.rem(c, 2)
@@ -688,6 +732,9 @@ def _paged_attn_kernel(
         row_valid = (pos_base + row_iota) < n_past
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, chunk), 1)
         col_valid = (pos_base + col_iota) < n_past
+        if window:
+            col_valid = jnp.logical_and(
+                col_valid, (pos_base + col_iota) > n_past - window)
         for h in range(kv_heads):
             q = q_ref[0, h].astype(jnp.bfloat16)            # [g, hd]
             kc, kfix = _kv_tile(kwin_s[buf, h])             # [chunk, hd]
@@ -778,8 +825,14 @@ def paged_attention(
     kcfg: KernelConfig = KernelConfig(),
     pages_per_step: Optional[int] = None,
     interpret=None,
+    window: int = 0,
 ):
     """Batched paged flash-decode attention + in-place append.
+
+    ``window`` > 0 = sliding-window attention (Mistral semantics): each
+    request attends its last ``window`` positions only; below-window page
+    windows are never gathered, so decode streams O(window) KV per
+    request regardless of context length.
 
     Attends each request's ``seq_lens[b]`` cached rows plus the current
     token (folded from registers), appends the current K/V at
@@ -855,7 +908,7 @@ def paged_attention(
     n_inputs_before_pools = 5 + 3
     out, kp, vp = pl.pallas_call(
         functools.partial(_paged_attn_kernel, kv_heads=kv_heads, group=group,
-                          head_dim=hd, page=page, npp=npp),
+                          head_dim=hd, page=page, npp=npp, window=window),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, kv_heads * group * hd), q.dtype),

@@ -56,6 +56,8 @@ def _load():
             lib.cf_pool_free_pages.argtypes = [p]
             lib.cf_pool_num_requests.restype = i32
             lib.cf_pool_num_requests.argtypes = [p]
+            lib.cf_pool_set_window.restype = i32
+            lib.cf_pool_set_window.argtypes = [p, i32]
             lib.cf_request_add.restype = i32
             lib.cf_request_add.argtypes = [p, i64, i32]
             lib.cf_request_release.restype = i32
@@ -96,6 +98,15 @@ class PagedKVScheduler:
         # last decodable token index: one page slot is always reserved for
         # the token being decoded
         self.max_tokens = max_pages_per_req * page_size - 1
+
+    def set_window_pages(self, window_pages: int) -> None:
+        """Rolling-buffer mode (sliding-window attention): cap each
+        request's REAL pages at ``window_pages``; below-window block-table
+        slots become the NULL page (masked by the kernels).  Must be set
+        before any request is added."""
+        rc = self._lib.cf_pool_set_window(self._h, window_pages)
+        if rc != 0:
+            raise ValueError("set_window_pages: bad value or pool in use")
 
     def __del__(self):
         if getattr(self, "_h", None):

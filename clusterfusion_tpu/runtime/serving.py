@@ -103,7 +103,8 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
             x, res, lw["wqkv_f"], lw["wo_f"], block_table, seq_lens,
             positions, kp, vp, l, an[None], cfg.norm_eps,
             cos_t, sin_t, group=g, rope_style=cfg.rope_style, kcfg=kcfg,
-            interpret=interpret_mode(), bias_qkv=lw.get("bqkv_f"))
+            interpret=interpret_mode(), bias_qkv=lw.get("bqkv_f"),
+            window=cfg.sliding_window)
         fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                           keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
@@ -240,7 +241,8 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         # an XLA scatter next to a pallas pool operand materializes a full
         # pool copy per layer (measured 116.7 -> 14.4 ms/step without it)
         o, kp, vp = paged_attention(q, k, v, kp, vp, block_table, seq_lens,
-                                    l, kcfg=kcfg, interpret=interpret_mode())
+                                    l, kcfg=kcfg, interpret=interpret_mode(),
+                                    window=cfg.sliding_window)
         G = lw["wo_f"].shape[1]
         attn = o_dot(o.reshape(B, G, (kv // G) * g * hd),
                      idx(lw["wo_f"], l)).astype(x.dtype)
@@ -313,6 +315,14 @@ class ServingEngine:
         assert prefill_chunk is None or (prefill_chunk & (prefill_chunk - 1)) == 0
         self.prefill_chunk = prefill_chunk
         self.sched = PagedKVScheduler(num_pages, page_size, max_pages_per_req)
+        if cfg.sliding_window:
+            # rolling page buffer: a windowed request owns at most
+            # ceil(window/page)+1 real pages regardless of context length
+            # (the +1 is the filling tail page); below-window block-table
+            # slots hold the NULL page, which the window-aware kernels
+            # never read
+            self.sched.set_window_pages(
+                -(-cfg.sliding_window // page_size) + 1)
         self.max_batch = max_batch
         # heads before the page axis: the paged kernel's KV blocks tile
         # (page, head_dim), so any head-group size stays legal on TPU

@@ -47,6 +47,14 @@ struct Pool {
   int32_t page_size = 0;
   int32_t num_pages = 0;
   int32_t max_pages_per_req = 0;
+  // Rolling-buffer mode (sliding-window attention): cap the REAL pages a
+  // request owns at `window_pages`; block-table slots below the window
+  // hold the NULL page (0) and their reads are masked out by the decode
+  // kernels.  0 = off (full-context).  Recycling moves a page id from the
+  // slot that just fell out of the window to the new tail slot — the old
+  // slot's positions are provably below every future query's window
+  // before the first overwrite lands (window <= (window_pages-1)*page+1).
+  int32_t window_pages = 0;
   std::vector<int32_t> free_list;              // LIFO
   std::unordered_map<int64_t, Request> requests;
   std::deque<int64_t> pending;                 // FCFS admission queue
@@ -68,8 +76,45 @@ struct Pool {
     return true;
   }
 
+  // Append one table slot, recycling the page that fell out of the window
+  // when rolling-buffer mode is on.  Returns false only when a fresh page
+  // is needed and the pool is exhausted (or the slot cap is hit).
+  bool grow_slot(Request& r) {
+    int32_t j = static_cast<int32_t>(r.pages.size());
+    if (j >= max_pages_per_req) return false;
+    if (window_pages > 0 && j >= window_pages && r.pages[j - window_pages]) {
+      r.pages.push_back(r.pages[j - window_pages]);
+      r.pages[j - window_pages] = 0;            // NULL: masked, never read
+      return true;
+    }
+    if (free_list.empty()) return false;
+    r.pages.push_back(free_list.back());
+    free_list.pop_back();
+    return true;
+  }
+
+  // Admission allocation: `need` table slots, of which only the last
+  // min(need, window_pages) hold real pages in rolling-buffer mode (the
+  // prompt's below-window KV is never read — the prefill scatter's writes
+  // to the NULL page are harmless by design).
+  bool alloc_for_admission(Request& r, int32_t need) {
+    int32_t realn = (window_pages > 0 && need > window_pages)
+        ? window_pages : need;
+    if (free_pages() < realn) return false;
+    if (need > max_pages_per_req) return false;
+    for (int32_t i = 0; i < need - realn; ++i) r.pages.push_back(0);
+    return alloc_pages(r, realn);
+  }
+
+  int32_t admission_cost(int32_t need) const {
+    return (window_pages > 0 && need > window_pages) ? window_pages : need;
+  }
+
   void free_request(Request& r) {
-    for (int32_t p : r.pages) free_list.push_back(p);
+    // NULL-page slots (rolling-buffer below-window placeholders) are not
+    // pool pages; each real id appears in exactly one slot
+    for (int32_t p : r.pages)
+      if (p != 0) free_list.push_back(p);
     r.pages.clear();
   }
 };
@@ -104,6 +149,17 @@ void cf_pool_destroy(void* handle) {
 
 int32_t cf_pool_free_pages(void* handle) {
   return static_cast<Pool*>(handle)->free_pages();
+}
+
+// Rolling-buffer mode for sliding-window attention: cap each request's
+// REAL pages at `window_pages` (ceil(window/page_size)+1 covers every
+// in-window position while the tail page fills).  0 disables.  Returns 0,
+// or -1 on bad args / requests already present.
+int32_t cf_pool_set_window(void* handle, int32_t window_pages) {
+  auto* pool = static_cast<Pool*>(handle);
+  if (window_pages < 0 || !pool->requests.empty()) return -1;
+  pool->window_pages = window_pages;
+  return 0;
 }
 
 int32_t cf_pool_num_requests(void* handle) {
@@ -194,7 +250,7 @@ int32_t cf_prepare_batch(void* handle, int32_t max_batch,
     int32_t need = pages_needed(*pool, r.len);
     bool ok = true;
     while (static_cast<int32_t>(r.pages.size()) < need && ok)
-      ok = pool->alloc_pages(r, 1);
+      ok = pool->grow_slot(r);
     if (!ok) preempted.push_back(id);
   }
   for (int64_t id : preempted) {
@@ -222,8 +278,9 @@ int32_t cf_prepare_batch(void* handle, int32_t max_batch,
       pool->requests.erase(id);
       continue;
     }
-    if (need > pool->free_pages()) break;  // FCFS: no skip-ahead
-    pool->alloc_pages(r, need);
+    if (pool->admission_cost(need) > pool->free_pages())
+      break;                               // FCFS: no skip-ahead
+    pool->alloc_for_admission(r, need);
     r.active = true;
     pool->pending.pop_front();
     pool->running.push_back(id);

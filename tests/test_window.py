@@ -189,6 +189,137 @@ def test_prefill_then_windowed_decode_consistency():
         tok = jnp.argmax(le).astype(jnp.int32)
 
 
+# --- paged serving ---------------------------------------------------------
+
+def test_window_serving_matches_single_seq():
+    """Continuous-batching serving with sliding_window (the paged kernels
+    skip below-window page gathers) must equal the windowed fused
+    single-sequence greedy decode."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+    cfg = LlamaConfig.tiny(max_seq_len=64, sliding_window=12)
+    params = model.init_params(cfg, jax.random.PRNGKey(13))
+
+    def ref_greedy(prompt, n_gen):
+        kc, vc = model.init_cache(cfg)
+        logits, kc, vc = model.prefill(params, kc, vc,
+                                       jnp.asarray(prompt, jnp.int32), cfg)
+        toks = [int(jnp.argmax(logits[len(prompt) - 1]))]
+        pos = len(prompt)
+        for _ in range(n_gen - 1):
+            lg, kc, vc = model.decode_step(
+                params, kc, vc, jnp.asarray(toks[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32), cfg, fused=True)
+            toks.append(int(jnp.argmax(lg)))
+            pos += 1
+        return toks
+
+    # prompt longer than the window: the window actually bites during
+    # decode (positions 0..len-12 are masked out)
+    prompts = {0: list(range(1, 21)), 1: [4, 5, 6]}
+    for impl in ("batched", "fused"):     # both serving step kernels
+        eng = ServingEngine(params, cfg, page_size=8, num_pages=64,
+                            max_batch=4, step_impl=impl)
+        for rid, p in prompts.items():
+            eng.submit(rid, p, max_gen_len=4, temperature=0.0)
+        out = eng.run()
+        for rid, p in prompts.items():
+            assert out[rid] == ref_greedy(p, 4), (impl, rid)
+
+
+@pytest.mark.parametrize("quant,kv", [("int8", "int8"), ("int4", "int8"),
+                                      ("int4", "fp8")])
+def test_window_quant_kv_matrix(quant, kv):
+    """Window x weight-quant x 8-bit KV interactions: the windowed chunk
+    aliasing must compose with int8 scale-plane blocks and fp8 decode."""
+    from clusterfusion_tpu.ops.quant import quantize_llama_params
+    cfg = LlamaConfig.tiny(max_seq_len=512, sliding_window=100)
+    params = model.init_params(cfg, jax.random.PRNGKey(31))
+    params = quantize_llama_params(params, quant, 128)
+    kv_dtype = "int8" if kv == "int8" else jnp.float8_e4m3fn
+    kcf, vcf = model.init_cache(cfg, dtype=kv_dtype)
+    kce, vce = kcf, vcf
+    # both paths start from the same (zero) history and decode 3 windowed
+    # steps at positions past the window; rows they append feed later steps
+    tok = jnp.asarray(7, jnp.int32)
+    for step in range(200, 203):
+        pos = jnp.asarray(step, jnp.int32)
+        lf, kcf, vcf = model.decode_step(params, kcf, vcf, tok, pos, cfg,
+                                         fused=True)
+        le, kce, vce = model.decode_step(params, kce, vce, tok, pos, cfg,
+                                         fused=False)
+    a, b = np.asarray(lf, np.float32), np.asarray(le, np.float32)
+    assert np.all(np.isfinite(a)), (quant, kv)
+    scale = max(float(np.max(np.abs(b))), 1.0)
+    assert np.max(np.abs(a - b)) < 0.1 * scale, (quant, kv)
+
+
+def test_rolling_buffer_scheduler():
+    """Rolling page buffer (native scheduler window mode): a windowed
+    request's REAL page count caps at window_pages; below-window table
+    slots become the NULL page; recycled ids move to the tail slot."""
+    from clusterfusion_tpu.runtime.native import PagedKVScheduler
+    s = PagedKVScheduler(num_pages=8, page_size=4, max_pages_per_req=8)
+    s.set_window_pages(2)
+    s.add(1, prompt_len=13)             # 4 slots (13+1 over page 4)
+    ids, table, lens, poss, fresh = s.prepare_batch(2)
+    assert list(ids) == [1] and fresh[0]
+    pages = s.request_pages(1)
+    # 4 slots, only the last 2 real
+    assert len(pages) == 4 and list(pages[:2]) == [0, 0]
+    assert all(p != 0 for p in pages[2:])
+    assert s.free_pages == 7 - 2
+    # decode across the next page boundary: slot 4 recycles slot 2's page
+    old = int(pages[2])
+    for _ in range(3):                  # len 13 -> 16: slot 4 appears
+        s.commit_batch()
+        s.prepare_batch(2)
+    pages = s.request_pages(1)
+    assert len(pages) == 5
+    assert int(pages[4]) == old and int(pages[2]) == 0
+    assert s.free_pages == 7 - 2        # no new pages consumed
+    # release returns exactly the real pages, no double-free of NULLs
+    s.release(1)
+    assert s.free_pages == 7
+
+
+def test_rolling_buffer_serving_capacity():
+    """With the rolling buffer, long windowed generations run in a pool
+    that full-context serving could not fit, and still match the windowed
+    single-sequence greedy decode."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+    cfg = LlamaConfig.tiny(max_seq_len=64, sliding_window=12)
+    params = model.init_params(cfg, jax.random.PRNGKey(14))
+    prompt = list(range(1, 25))         # 24 cached + 16 generated = 40 toks
+    n_gen = 16
+    # full-context would need ceil(41/8) = 6 pages; give the pool 4 usable
+    # (5 minus the NULL page): only the window cap (ceil(12/8)+1 = 3)
+    # lets this run without preemption
+    eng = ServingEngine(params, cfg, page_size=8, num_pages=5, max_batch=2)
+    eng.submit(0, prompt, max_gen_len=n_gen, temperature=0.0)
+    out = eng.run()
+    assert eng.last_results[0].error is None
+    assert len(out[0]) == n_gen
+
+    # teacher-forced validation (tie-robust: with random weights the top-2
+    # logits can sit within bf16 noise, so exact greedy equality between
+    # the batched serving step and the single-seq oracle is flaky — what
+    # must hold is that every served token was a near-argmax choice of the
+    # windowed oracle given the SAME prefix)
+    kc, vc = model.init_cache(cfg)
+    logits, kc, vc = model.prefill(params, kc, vc,
+                                   jnp.asarray(prompt, jnp.int32), cfg)
+    lg = logits[len(prompt) - 1]
+    pos = len(prompt)
+    for i, tok in enumerate(out[0]):
+        gap = float(jnp.max(lg) - lg[tok])
+        scale = max(float(jnp.max(jnp.abs(lg))), 1.0)
+        assert gap < 0.02 * scale, (i, tok, gap)
+        lg, kc, vc = model.decode_step(
+            params, kc, vc, jnp.asarray(tok, jnp.int32),
+            jnp.asarray(pos, jnp.int32), cfg, fused=True)
+        pos += 1
+
+
 # --- n-row verify megakernel ----------------------------------------------
 
 @pytest.mark.parametrize("window", [100, 401])
