@@ -196,6 +196,13 @@ class KernelConfig:
 
     # Rows of KV processed per flash-decode grid step.
     kv_chunk: int = 512
+    # Long-context floor for kv_chunk: at capacity >= 4096 the effective
+    # chunk is max(kv_chunk, kv_chunk_longctx).  At 8K ctx the ~1.5 us
+    # grid-step fixed cost dominates the gap to the HBM byte floor, and
+    # 2048-row chunks halve the step count — measured 110.4 -> 118.5
+    # tok/s at 7B int4+int8kv 8K on v5e (scripts/bench_8k_chunk.py; 4096
+    # is flat at 118.0).  Set equal to kv_chunk to disable.
+    kv_chunk_longctx: int = 2048
     # KV heads projected per grid step.  M=1 GEMVs are MXU-pipeline-bound on
     # TPU, so the QKV dot must be N-wide (N = head_group·(group+2)·head_dim)
     # to reach HBM speed-of-light; 8 heads → N=3072 for llama-7B.
@@ -224,9 +231,19 @@ class KernelConfig:
     # Upper bound on VMEM the compiler may use for one kernel (bytes).
     vmem_limit_bytes: int = 100 * 1024 * 1024
 
+    def chunk_for(self, capacity: int) -> int:
+        """Effective KV rows per grid step for a cache of ``capacity``:
+        ``kv_chunk``, floored at ``kv_chunk_longctx`` when the capacity is
+        long-context (>= 4096 — see kv_chunk_longctx rationale)."""
+        c = self.kv_chunk
+        if capacity >= 4096:
+            c = max(c, self.kv_chunk_longctx)
+        return c
+
     def key(self) -> Tuple:
         return (self.kv_chunk, self.head_group, self.weight_tile,
-                self.int4_w4a8, self.ffn_block_target, self.serving_w8a8)
+                self.int4_w4a8, self.ffn_block_target, self.serving_w8a8,
+                self.kv_chunk_longctx)
 
 
 @dataclasses.dataclass(frozen=True)

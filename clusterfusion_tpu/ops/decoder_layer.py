@@ -447,7 +447,7 @@ def _fused_decoder_layer(
     assert qkv_cols == hg * (group + 2) * head_dim
     cap = k_cache.shape[2]
     hd = head_dim
-    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    chunk = min(kcfg.chunk_for(cap), max(round_up(cap, 16), 16))
     n_chunks = max(cdiv(cap, chunk), 1)
     dt = x.dtype
     wo_rows = hg * group * hd

@@ -399,7 +399,7 @@ def deepseek_decoder_stack_layer(
     dt = input.dtype
     n_proj = wproj_s.shape[-1]
 
-    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    chunk = min(kcfg.chunk_for(cap), max(round_up(cap, 16), 16))
     n_chunks = max(cdiv(cap, chunk), 1)
     cos_f = jnp.concatenate([cos, cos])[None, :].astype(jnp.float32)
     sin_f = jnp.concatenate([sin, sin])[None, :].astype(jnp.float32)

@@ -532,7 +532,7 @@ def fused_decoder_stack(
     assert qkv_cols == hg * (group + 2) * hd
     pack = 2 if wq_kind == "int4" else 1
 
-    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    chunk = min(kcfg.chunk_for(cap), max(round_up(cap, 16), 16))
     if kv8:
         # scale planes tile positions 128 per row: chunks must cover whole
         # plane rows (or the single-chunk small-cap case)

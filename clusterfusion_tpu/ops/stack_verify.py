@@ -467,7 +467,7 @@ def fused_verify_stack(
     assert qkv_cols == hg * (group + 2) * hd
     pack = 2 if wq_kind == "int4" else 1
 
-    chunk = min(kcfg.kv_chunk, max(round_up(cap, 16), 16))
+    chunk = min(kcfg.chunk_for(cap), max(round_up(cap, 16), 16))
     if kv8:
         assert cap % 128 == 0 or cap <= 128, \
             f"int8 KV capacity must be 128-aligned (or <=128), got {cap}"

@@ -87,8 +87,12 @@ def candidate_space(cfg: LlamaConfig, seq: int,
     kv = cfg.kv_heads
     if cfg.hidden_dim >= 4096:
         # big models: each stack-kernel compile is expensive (minutes via a
-        # remote-compile relay) — sweep only the knee of the curve
-        chunks = [c for c in (512, 1024) if c <= max(seq, 128)]
+        # remote-compile relay) — sweep only the knee of the curve.  Long
+        # contexts add the 2K/4K chunks: at 8K ctx the grid-step fixed
+        # cost (~1.5 us/step) dominates the gap to the byte floor, and
+        # bigger chunks quarter the step count (scripts/bench_8k_chunk.py)
+        chunks = [c for c in (512, 1024, 2048, 4096)
+                  if c <= max(seq, 128) and (c <= 1024 or seq >= 4096)]
         hgs = [h for h in (2, 4, 8) if h <= kv and kv % h == 0]
     else:
         chunks = [c for c in (128, 256, 512, 1024) if c <= max(seq, 128)]
