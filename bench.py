@@ -322,6 +322,10 @@ def _synth_quant_params(cfg, kind: str):
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     layers["attn_norm"] = jnp.ones((L, h), bf)
     layers["ffn_norm"] = jnp.ones((L, h), bf)
+    if cfg.qkv_bias:
+        # Qwen2-family QKV bias (stays bf16 under weight-only quant)
+        layers["bqkv_f"] = (jax.random.normal(
+            jax.random.PRNGKey(5), (L, G, hg * (g + 2) * hd), bf) * 0.02)
     inv = jnp.asarray(1.0 / np.sqrt(h), bf)   # bf16 scalar: a numpy f64
     # scalar would silently promote these to f32 (2x HBM + VMEM blowups)
     # LM head: per-output-column int8 (rides the quantized operating point
@@ -486,6 +490,24 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# llama3-8b bench failed: {e!r}", flush=True)
 
+    qwen2_tps = None
+    if not small:
+        try:
+            # Qwen2-7B geometry (QKV bias through the megakernel, 4 kv
+            # heads, 152K vocab) at the production point int4+int8kv
+            from clusterfusion_tpu.config import LlamaConfig as _LC
+            import dataclasses as _dc
+            cfgq = _dc.replace(_LC.qwen2_7b(), n_layers=n_layers,
+                               max_seq_len=1024)
+            qpq = _synth_quant_params(cfgq, "int4")
+            jax.block_until_ready(qpq["embed"])
+            qwen2_tps = _time_decode(qpq, cfgq, n_gen, fused=True,
+                                     kv_dtype="int8")
+            del qpq
+            gc.collect()
+        except Exception as e:  # pragma: no cover
+            print(f"# qwen2-7b bench failed: {e!r}", flush=True)
+
     # headline: the fastest fused serving configuration (weight-only
     # int8/int4 preserves model quality; the baseline stays the unfused
     # bf16 XLA path — the reference's own figure of merit is fused vs
@@ -548,6 +570,8 @@ def main():
         if deepseek_tps else None,
         "llama3_8b_int4_int8kv_tokens_per_s": round(llama3_tps, 2)
         if llama3_tps else None,
+        "qwen2_7b_int4_int8kv_tokens_per_s": round(qwen2_tps, 2)
+        if qwen2_tps else None,
         "device": str(jax.devices()[0]),
     }))
 
