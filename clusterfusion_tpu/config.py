@@ -45,8 +45,24 @@ class LlamaConfig:
     # reference supports full context only).  Out-of-window KV chunks cost
     # no HBM bytes in the fused kernels (see ops/stack_kernel.py).
     sliding_window: int = 0
+    # Which layers the sliding window applies to: "all" (mistral) or
+    # "even" (gemma-2 interleaved local/global: even layers windowed, odd
+    # layers full-context).
+    window_pattern: str = "all"
     # QKV projection bias (Qwen2 family; llama/mistral have none).
     qkv_bias: bool = False
+    # Gated-FFN activation: "silu" (SwiGLU — llama/mistral/qwen) or
+    # "gelu_tanh" (GeGLU — gemma).
+    ffn_act: str = "silu"
+    # Gemma-2 sandwich norms: extra RMSNorms on the attention output
+    # (post_attention_layernorm) and the FFN output
+    # (post_feedforward_layernorm), applied BEFORE their residual adds.
+    # Adds per-layer "post_attn_norm"/"post_ffn_norm" [L, hidden] params.
+    sandwich_norms: bool = False
+    # Gemma-2 logit softcapping: s -> cap*tanh(s/cap) on attention logits
+    # (pre-mask) and on final LM logits.  0.0 = off.
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
 
     @property
     def kv_heads(self) -> int:
@@ -95,6 +111,22 @@ class LlamaConfig:
                            ffn_dim=18944, n_layers=28, vocab_size=152064,
                            rope_theta=1000000.0, norm_eps=1e-6,
                            rope_style="neox", qkv_bias=True)
+
+    @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        # Gemma-2-9B (HF config.json): GeGLU FFN, sandwich norms, logit
+        # softcaps, interleaved local(4096)/global attention, head_dim 256
+        # (query_pre_attn_scalar 256 == head_dim -> standard 1/sqrt(hd)
+        # scale), norm weights stored as (1+w) at load, embeddings scaled
+        # by sqrt(hidden) at load, LM head tied to the UNSCALED embedding.
+        return LlamaConfig(hidden_dim=3584, n_heads=16, n_kv_heads=8,
+                           head_dim=256, ffn_dim=14336, n_layers=42,
+                           vocab_size=256000, norm_eps=1e-6,
+                           rope_theta=10000.0, rope_style="neox",
+                           sliding_window=4096, window_pattern="even",
+                           ffn_act="gelu_tanh", sandwich_norms=True,
+                           attn_logit_softcap=50.0,
+                           final_logit_softcap=30.0)
 
     @staticmethod
     def tinyllama_1b() -> "LlamaConfig":

@@ -177,10 +177,12 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
     from clusterfusion_tpu.models.llama import default_head_group
     with open(os.path.join(model_dir, "config.json")) as f:
         hc = json.load(f)
+    gemma2 = hc.get("model_type") == "gemma2"
     cfg = LlamaConfig(
         hidden_dim=hc["hidden_size"],
         n_heads=hc["num_attention_heads"],
         n_kv_heads=hc.get("num_key_value_heads"),
+        head_dim=hc.get("head_dim"),
         ffn_dim=hc["intermediate_size"],
         n_layers=hc["num_hidden_layers"],
         vocab_size=hc["vocab_size"],
@@ -190,6 +192,13 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         rope_style="neox",     # HF stores q/k pre-permuted for rotate-half
         # mistral-family HF configs carry sliding_window (null = full ctx)
         sliding_window=hc.get("sliding_window") or 0,
+        # gemma-2: interleaved local/global attention, GeGLU, sandwich
+        # norms, logit softcaps
+        window_pattern="even" if gemma2 else "all",
+        ffn_act="gelu_tanh" if gemma2 else "silu",
+        sandwich_norms=gemma2,
+        attn_logit_softcap=hc.get("attn_logit_softcapping") or 0.0,
+        final_logit_softcap=hc.get("final_logit_softcapping") or 0.0,
     )
     head_group = head_group or default_head_group(cfg, quant)
     state = _load_hf_state(model_dir)
@@ -200,7 +209,15 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
     has_bias = "model.layers.0.self_attn.q_proj.bias" in state
     if has_bias:
         cfg = LlamaConfig(**{**cfg.__dict__, "qkv_bias": True})
+
+    def norm_w(name):
+        """RMSNorm weight; gemma stores w with (1+w)·normed semantics —
+        fold the +1 at load so the kernels' plain w·normed applies."""
+        w = get(name)
+        return w + 1.0 if gemma2 else w
+
     wqkv_l, wo_l, w13_l, w2_l, an_l, fn_l, bqkv_l = [], [], [], [], [], [], []
+    pa_l, pf_l = [], []
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         wqkv_f, wo_f = fuse_attention_weights(
@@ -225,22 +242,37 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
             get(pre + "mlp.down_proj.weight").T, cfg)
         w13_l.append(w13)
         w2_l.append(w2)
-        an_l.append(get(pre + "input_layernorm.weight"))
-        fn_l.append(get(pre + "post_attention_layernorm.weight"))
+        an_l.append(norm_w(pre + "input_layernorm.weight"))
+        if gemma2:
+            # gemma-2 sandwich: pre-FFN norm is its OWN weight; the name
+            # "post_attention_layernorm" is the post-attn sandwich norm
+            fn_l.append(norm_w(pre + "pre_feedforward_layernorm.weight"))
+            pa_l.append(norm_w(pre + "post_attention_layernorm.weight"))
+            pf_l.append(norm_w(pre + "post_feedforward_layernorm.weight"))
+        else:
+            fn_l.append(norm_w(pre + "post_attention_layernorm.weight"))
 
     lm_head = state.get("lm_head.weight", state["model.embed_tokens.weight"])
+    embed = get("model.embed_tokens.weight")
+    if gemma2:
+        # gemma scales embedding OUTPUTS by sqrt(hidden); the tied LM head
+        # reads the UNSCALED table, so fold the scale into `embed` only
+        embed = embed * jnp.asarray(np.sqrt(cfg.hidden_dim), dtype)
     params: LlamaParams = {
-        "embed": get("model.embed_tokens.weight"),
+        "embed": embed,
         "layers": {
             "wqkv_f": jnp.stack(wqkv_l), "wo_f": jnp.stack(wo_l),
             "w13": jnp.stack(w13_l), "w2": jnp.stack(w2_l),
             "attn_norm": jnp.stack(an_l), "ffn_norm": jnp.stack(fn_l),
         },
-        "final_norm": get("model.norm.weight"),
+        "final_norm": norm_w("model.norm.weight"),
         "lm_head": jnp.asarray(lm_head.astype(np.float32), dtype).T,
     }
     if has_bias:
         params["layers"]["bqkv_f"] = jnp.stack(bqkv_l)
+    if gemma2:
+        params["layers"]["post_attn_norm"] = jnp.stack(pa_l)
+        params["layers"]["post_ffn_norm"] = jnp.stack(pf_l)
     return params, cfg
 
 

@@ -44,7 +44,7 @@ from clusterfusion_tpu.ops.rope import (
     rope_tables_gptj,
     rope_tables_neox,
 )
-from clusterfusion_tpu.ops._support import interpret_mode
+from clusterfusion_tpu.ops._support import glu_act, interpret_mode
 from clusterfusion_tpu.ops.quant import (Int8KV, QuantizedTensor,
     maybe_dequantize, quantize_kv_rows, quantize_llama_params)
 
@@ -150,6 +150,10 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.bfloat16,
         # Qwen2-family QKV bias, grouped-column layout matching wqkv_f
         params["layers"]["bqkv_f"] = \
             norm(ks[6], (L, G, hg * (g + 2) * hd), hd)
+    if cfg.sandwich_norms:
+        # gemma-2 post-attention / post-FFN RMSNorm weights
+        params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
+        params["layers"]["post_ffn_norm"] = jnp.ones((L, h), dtype)
     return params
 
 
@@ -199,8 +203,8 @@ def init_cache(cfg: LlamaConfig, max_seq: Optional[int] = None,
 # --------------------------------------------------------------------------
 
 
-def _ffn(x, w13, w2):
-    """SwiGLU in bf16 with fp32 accumulation.
+def _ffn(x, w13, w2, act: str = "silu"):
+    """SwiGLU/GeGLU in bf16 with fp32 accumulation.
 
     w13: [2, hidden, ffn] = stacked (w1, w3) so a tp shard of the ffn axis
     holds *matching* gate/up columns (no resharding at the gate·up product).
@@ -213,7 +217,7 @@ def _ffn(x, w13, w2):
         # copy would materialize ~185 MB/layer at 7B)
         y = jnp.einsum("...d,udf->...uf", x, w13.q.astype(x.dtype),
                        preferred_element_type=jnp.float32) * w13.s[:, 0, :]
-        act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
+        act = glu_act(y[..., 0, :], y[..., 1, :], act).astype(x.dtype)
         return (jnp.dot(act, w2.q.astype(x.dtype),
                         preferred_element_type=jnp.float32)
                 * w2.s).astype(x.dtype)
@@ -221,7 +225,7 @@ def _ffn(x, w13, w2):
     w2 = maybe_dequantize(w2, x.dtype)
     y = jnp.einsum("...d,udf->...uf", x, w13,
                    preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
+    act = glu_act(y[..., 0, :], y[..., 1, :], act).astype(x.dtype)
     return jnp.dot(act, w2, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -300,9 +304,7 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
     cos, sin = cos_t[pos0:pos0 + T][None], sin_t[pos0:pos0 + T][None]
     h = params["embed"][tokens][None]                      # [1, T, hidden]
 
-    def layer(carry, xs):
-        h = carry
-        p, kc_l, vc_l = xs
+    def one_layer(h, p, kc_l, vc_l, win: int):
         xn = rmsnorm_ref(h, p["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv_eager(xn, p["wqkv_f"], cfg, p.get("bqkv_f"))         # q [1,T,kv,g,hd]
         q = _apply_rope(q, cos[..., None, None, :], sin[..., None, None, :],
@@ -320,7 +322,8 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         if flash:
             o4 = flash_prefill_attention(q[0].transpose(1, 0, 2, 3),
                                          k_ctx, v_ctx, q_offset=pos0,
-                                         window=cfg.sliding_window)
+                                         window=win,
+                                         softcap=cfg.attn_logit_softcap)
             o = o4.transpose(1, 0, 2, 3)[None]             # [1,T,kv,g,hd]
         else:
             # f32 oracle math (also sidesteps CPU XLA's unsupported
@@ -328,11 +331,14 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
             scale = 1.0 / jnp.sqrt(jnp.float32(hd))
             scores = jnp.einsum("btkgd,ksd->bkgts", q.astype(jnp.float32),
                                 k_ctx.astype(jnp.float32)) * scale
+            if cfg.attn_logit_softcap:
+                c = cfg.attn_logit_softcap
+                scores = c * jnp.tanh(scores / c)
             qpos = pos0 + jnp.arange(T)[:, None]
             kpos = jnp.arange(pos0 + T)[None, :]
             mask = kpos <= qpos                            # [T, S]
-            if cfg.sliding_window:
-                mask &= kpos > qpos - cfg.sliding_window
+            if win:
+                mask &= kpos > qpos - win
             scores = jnp.where(mask[None, None, None], scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("bkgts,ksd->btkgd", probs,
@@ -343,17 +349,52 @@ def prefill_chunk(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
                           maybe_dequantize(p["wo_f"], h.dtype),
                           preferred_element_type=jnp.float32
                           ).astype(h.dtype)
+        if cfg.sandwich_norms:
+            attn = rmsnorm_ref(attn, p["post_attn_norm"], cfg.norm_eps)
         h = h + attn
         xn2 = rmsnorm_ref(h, p["ffn_norm"], cfg.norm_eps)
-        h = h + _ffn(xn2, p["w13"], p["w2"])
+        f_out = _ffn(xn2, p["w13"], p["w2"], cfg.ffn_act)
+        if cfg.sandwich_norms:
+            f_out = rmsnorm_ref(f_out, p["post_ffn_norm"], cfg.norm_eps)
+        h = h + f_out
         return h, (k_new, v_new)
 
-    h, (k_new, v_new) = jax.lax.scan(
-        layer, h, (params["layers"], k_cache, v_cache))
+    if cfg.sliding_window and cfg.window_pattern == "even":
+        # gemma-2 interleaved local/global: the flash kernel's window is a
+        # compile-time parameter, so scan layer PAIRS — the even (local)
+        # layer runs windowed, the odd (global) one full-context
+        assert cfg.n_layers % 2 == 0, cfg.n_layers
+        L2 = cfg.n_layers // 2
+
+        def pair(carry, xs):
+            h = carry
+            p2, kc2, vc2 = xs
+            kns, vns = [], []
+            for i in range(2):
+                sel = lambda t: jax.tree.map(lambda a: a[i], t)
+                h, (kn, vn) = one_layer(h, sel(p2), sel(kc2), sel(vc2),
+                                        cfg.sliding_window if i == 0 else 0)
+                kns.append(kn)
+                vns.append(vn)
+            return h, (jnp.stack(kns), jnp.stack(vns))
+
+        pair_xs = jax.tree.map(
+            lambda a: a.reshape(L2, 2, *a.shape[1:]),
+            (params["layers"], k_cache, v_cache))
+        h, (k_new, v_new) = jax.lax.scan(pair, h, pair_xs)
+        k_new = k_new.reshape(cfg.n_layers, *k_new.shape[2:])
+        v_new = v_new.reshape(cfg.n_layers, *v_new.shape[2:])
+    else:
+        h, (k_new, v_new) = jax.lax.scan(
+            lambda h, xs: one_layer(h, *xs, cfg.sliding_window),
+            h, (params["layers"], k_cache, v_cache))
     k_cache = _cache_fill(k_cache, k_new, pos0)
     v_cache = _cache_fill(v_cache, v_new, pos0)
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
     logits = _lm_logits(xn[0], params["lm_head"])
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
     return logits, k_cache, v_cache
 
 
@@ -389,6 +430,9 @@ def layer_forward(h, p, cos, sin, mask, cfg: LlamaConfig):
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim_))
     scores = jnp.einsum("btkgd,bskd->bkgts", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if cfg.attn_logit_softcap:
+        csc = cfg.attn_logit_softcap
+        scores = csc * jnp.tanh(scores / csc)
     scores = jnp.where(mask[None, None, None], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
     o = jnp.einsum("bkgts,bskd->btkgd", probs, v,
@@ -399,9 +443,14 @@ def layer_forward(h, p, cos, sin, mask, cfg: LlamaConfig):
                       maybe_dequantize(p["wo_f"], h.dtype),
                       preferred_element_type=jnp.float32
                       ).astype(h.dtype)
+    if cfg.sandwich_norms:
+        attn = rmsnorm_ref(attn, p["post_attn_norm"], cfg.norm_eps)
     h2 = h + attn
     xn2 = rmsnorm_ref(h2, p["ffn_norm"], cfg.norm_eps)
-    return h2 + _ffn(xn2, p["w13"], p["w2"])
+    f_out = _ffn(xn2, p["w13"], p["w2"], cfg.ffn_act)
+    if cfg.sandwich_norms:
+        f_out = rmsnorm_ref(f_out, p["post_ffn_norm"], cfg.norm_eps)
+    return h2 + f_out
 
 
 def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
@@ -414,15 +463,37 @@ def forward(params: LlamaParams, tokens: jnp.ndarray, cfg: LlamaConfig):
     cos, sin = cos_t[:T][None], sin_t[:T][None]            # [1, T, hd]
     h = params["embed"][tokens]                            # [B, T, hidden]
     mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    mask_w = mask
     if cfg.sliding_window:
-        mask &= jnp.triu(jnp.ones((T, T), jnp.bool_),
-                         k=1 - cfg.sliding_window)
+        mask_w = mask & jnp.triu(jnp.ones((T, T), jnp.bool_),
+                                 k=1 - cfg.sliding_window)
 
-    h, _ = jax.lax.scan(
-        lambda h, p: (layer_forward(h, p, cos, sin, mask, cfg), None),
-        h, params["layers"])
+    if cfg.sliding_window and cfg.window_pattern == "even":
+        # gemma-2 interleaved local/global: scan layer pairs (even layer
+        # windowed, odd layer full-context)
+        assert cfg.n_layers % 2 == 0, cfg.n_layers
+        lp2 = jax.tree.map(
+            lambda a: a.reshape(cfg.n_layers // 2, 2, *a.shape[1:]),
+            params["layers"])
+
+        def pairf(h, p2):
+            for i, m in enumerate((mask_w, mask)):
+                pi = jax.tree.map(lambda a: a[i], p2)
+                h = layer_forward(h, pi, cos, sin, m, cfg)
+            return h, None
+
+        h, _ = jax.lax.scan(pairf, h, lp2)
+    else:
+        m = mask_w if cfg.sliding_window else mask
+        h, _ = jax.lax.scan(
+            lambda h, p: (layer_forward(h, p, cos, sin, m, cfg), None),
+            h, params["layers"])
     xn = rmsnorm_ref(h, params["final_norm"], cfg.norm_eps)
-    return _lm_logits(xn, params["lm_head"])
+    logits = _lm_logits(xn, params["lm_head"])
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
+    return logits
 
 
 # --------------------------------------------------------------------------
@@ -508,10 +579,17 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
         scale = 1.0 / jnp.sqrt(jnp.float32(hd))
         scores = jnp.einsum("kgd,ksd->kgs", q[0, 0], kl,
                             preferred_element_type=jnp.float32) * scale
+        if cfg.attn_logit_softcap:
+            c = cfg.attn_logit_softcap
+            scores = c * jnp.tanh(scores / c)
         valid = jnp.arange(kl.shape[1])[None, None] <= pos
         if cfg.sliding_window:
-            # Mistral semantics: position `pos` attends >= pos+1-window only
-            valid &= jnp.arange(kl.shape[1])[None, None] > pos - cfg.sliding_window
+            # Mistral semantics: position `pos` attends >= pos+1-window
+            # only; pattern "even" (gemma-2): odd layers stay full-context
+            wlo = pos + 1 - cfg.sliding_window
+            if cfg.window_pattern == "even":
+                wlo = jnp.where(l % 2 == 0, wlo, 0)
+            valid &= jnp.arange(kl.shape[1])[None, None] >= wlo
         scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         o = jnp.einsum("kgs,ksd->kgd", probs, vl,
@@ -522,9 +600,13 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
                           maybe_dequantize(p["wo_f"], x.dtype),
                           preferred_element_type=jnp.float32
                           ).astype(x.dtype)[None]
+        if cfg.sandwich_norms:
+            attn = rmsnorm_ref(attn, p["post_attn_norm"], cfg.norm_eps)
         xn2, residual = fused_add_rmsnorm_ref(attn, residual, p["ffn_norm"],
                                               cfg.norm_eps)
-        x = _ffn(xn2, p["w13"], p["w2"])
+        x = _ffn(xn2, p["w13"], p["w2"], cfg.ffn_act)
+        if cfg.sandwich_norms:
+            x = rmsnorm_ref(x, p["post_ffn_norm"], cfg.norm_eps)
         return (x, residual, kc, vc), None
 
     if fused:
@@ -538,16 +620,28 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
                 k_cache, v_cache, pos, group=g, head_dim=hd,
                 rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode(), window=cfg.sliding_window,
-                bias_qkv=lw.get("bqkv_f"),
+                bias_qkv=lw.get("bqkv_f"), ffn_act=cfg.ffn_act,
+                softcap=cfg.attn_logit_softcap,
+                window_pattern=cfg.window_pattern,
+                post_attn_norm=lw.get("post_attn_norm"),
+                post_ffn_norm=lw.get("post_ffn_norm"),
                 final_norm=params["final_norm"], lm_head=params["lm_head"])
-            return logits[0], k_cache, v_cache
+            lg = logits[0]
+            if cfg.final_logit_softcap:
+                c = cfg.final_logit_softcap
+                lg = c * jnp.tanh(lg / c)
+            return lg, k_cache, v_cache
         x, residual, k_cache, v_cache = fused_decoder_stack(
             x, lw["attn_norm"], lw["ffn_norm"], cos, sin,
             lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
             k_cache, v_cache, pos, group=g, head_dim=hd,
             rope_style=cfg.rope_style, eps=cfg.norm_eps, kcfg=kcfg,
             interpret=interpret_mode(), window=cfg.sliding_window,
-            bias_qkv=lw.get("bqkv_f"))
+            bias_qkv=lw.get("bqkv_f"), ffn_act=cfg.ffn_act,
+            softcap=cfg.attn_logit_softcap,
+            window_pattern=cfg.window_pattern,
+            post_attn_norm=lw.get("post_attn_norm"),
+            post_ffn_norm=lw.get("post_ffn_norm"))
         x = x.astype(params["embed"].dtype)
         residual = residual.astype(x.dtype)
     else:
@@ -563,6 +657,9 @@ def _decode_step_impl(params: LlamaParams, k_cache, v_cache,
                       interpret=interpret_mode())[0]
     else:
         logits = _lm_logits(xn[0], lm)
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
     return logits, k_cache, v_cache
 
 

@@ -89,13 +89,21 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
                       eps=cfg.norm_eps, kcfg=kcfg,
                       interpret=interpret_mode(),
                       window=cfg.sliding_window,
-                      bias_qkv=lw.get("bqkv_f"))
+                      bias_qkv=lw.get("bqkv_f"),
+                      ffn_act=cfg.ffn_act,
+                      softcap=cfg.attn_logit_softcap,
+                      window_pattern=cfg.window_pattern,
+                      post_attn_norm=lw.get("post_attn_norm"),
+                      post_ffn_norm=lw.get("post_ffn_norm"))
         if _vocab_block(cfg.vocab_size) > 0:
             logits, _, k_cache, v_cache = fused_verify_stack(
                 x, lw["attn_norm"], lw["ffn_norm"], cos2, sin2,
                 lw["wqkv_f"], lw["wo_f"], lw["w13"], lw["w2"],
                 k_cache, v_cache, pos, final_norm=params["final_norm"],
                 lm_head=params["lm_head"], **common)
+            if cfg.final_logit_softcap:
+                cc = cfg.final_logit_softcap
+                logits = cc * jnp.tanh(logits / cc)
             return logits, k_cache, v_cache
         xo, res, k_cache, v_cache = fused_verify_stack(
             x, lw["attn_norm"], lw["ffn_norm"], cos2, sin2,
@@ -106,6 +114,9 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
                                       params["final_norm"], cfg.norm_eps)
         logits = jnp.dot(xn, params["lm_head"],
                          preferred_element_type=jnp.float32)
+        if cfg.final_logit_softcap:
+            cc = cfg.final_logit_softcap
+            logits = cc * jnp.tanh(logits / cc)
         return logits, k_cache, v_cache
 
     def layer(carry, l):
@@ -135,11 +146,17 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         scale = 1.0 / jnp.sqrt(jnp.float32(hd))
         scores = jnp.einsum("tkgd,ksd->kgts", q[0].astype(jnp.float32),
                             kl.astype(jnp.float32)) * scale
+        if cfg.attn_logit_softcap:
+            c = cfg.attn_logit_softcap
+            scores = c * jnp.tanh(scores / c)
         qpos = pos + jnp.arange(n)[None, None, :, None]
         kpos = jnp.arange(kl.shape[1])[None, None, None, :]
         valid = kpos <= qpos
         if cfg.sliding_window:
-            valid &= kpos > qpos - cfg.sliding_window
+            wlo = qpos + 1 - cfg.sliding_window
+            if cfg.window_pattern == "even":
+                wlo = jnp.where(l % 2 == 0, wlo, 0)
+            valid &= kpos >= wlo
         scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("kgts,ksd->tkgd", probs,
@@ -148,9 +165,14 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
         attn = jnp.einsum("tGc,Gco->to", o.reshape(n, G, (kv // G) * g * hd),
                           maybe_dequantize(p["wo_f"], x.dtype),
                           preferred_element_type=jnp.float32).astype(x.dtype)
+        if cfg.sandwich_norms:
+            from clusterfusion_tpu.ops.reference import rmsnorm_ref
+            attn = rmsnorm_ref(attn, p["post_attn_norm"], cfg.norm_eps)
         xn2, residual = fused_add_rmsnorm_ref(attn, residual, p["ffn_norm"],
                                               cfg.norm_eps)
-        x = _ffn(xn2, p["w13"], p["w2"])
+        x = _ffn(xn2, p["w13"], p["w2"], cfg.ffn_act)
+        if cfg.sandwich_norms:
+            x = rmsnorm_ref(x, p["post_ffn_norm"], cfg.norm_eps)
         return (x, residual, kc, vc), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -160,6 +182,9 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
                                   cfg.norm_eps)
     logits = jnp.dot(xn, params["lm_head"],
                      preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:
+        cc = cfg.final_logit_softcap
+        logits = cc * jnp.tanh(logits / cc)
     return logits, k_cache, v_cache
 
 

@@ -31,3 +31,17 @@ def interpret_mode() -> bool:
     if os.environ.get("CLUSTERFUSION_FORCE_INTERPRET", "0") == "1":
         return True
     return _backend() != "tpu"
+
+
+def glu_act(y_gate, y_up, act: str = "silu"):
+    """Gated-linear-unit activation for the SwiGLU/GeGLU FFN families:
+    ``act(gate) * up`` in f32.  "silu" = llama/mistral/qwen SwiGLU;
+    "gelu_tanh" = gemma GeGLU (HF gelu_pytorch_tanh)."""
+    import jax
+    if act == "silu":
+        g = jax.nn.silu(y_gate)
+    elif act == "gelu_tanh":
+        g = jax.nn.gelu(y_gate, approximate=True)
+    else:
+        raise ValueError(f"unknown ffn activation {act!r}")
+    return g * y_up

@@ -157,6 +157,7 @@ def _decoder_layer_kernel(
     window: int = 0,              # sliding-window attention: attend only the
                                   # last `window` positions (0 = full context)
     with_bias: bool = False,      # QKV projection bias operand (Qwen2)
+    softcap: float = 0.0,         # attn logit softcap, pre-multiplied log2e
 ):
     it = iter(refs)
     wqkv_ref = next(it)
@@ -306,6 +307,9 @@ def _decoder_layer_kernel(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             if kfix != 1.0:
                 scores = scores * kfix
+            if softcap:
+                # gemma-2 softcap in the exp2 domain (cap pre-scaled log2e)
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
             scores = jnp.where(col_valid, scores, _NEG_INF)
 
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
@@ -343,6 +347,8 @@ def _decoder_layer_kernel(
         # folds it (prefetched flag s[2])
         fold = (s_ref[2] == 1).astype(jnp.float32)
         s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)   # [rows, 1]
+        if softcap:
+            s_cur = softcap * jnp.tanh(s_cur * (1.0 / softcap))
         s_cur = jnp.where(fold == 1.0, s_cur, _NEG_INF)
         m_old = ml_s[0, :].reshape(rows, 1)
         l_old = ml_s[1, :].reshape(rows, 1)
@@ -399,6 +405,7 @@ def _fused_decoder_layer(
     append_kv: bool = False,
     window: int = 0,
     bias_qkv=None,    # [L?, G, hg·(group+2)·hd] QKV bias (Qwen2 family)
+    softcap: float = 0.0,
 ):
     """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
     head_group):
@@ -573,6 +580,7 @@ def _fused_decoder_layer(
         wq_kind=wq_kind, gs_q=gs_q, w4a8=kcfg.int4_w4a8,
         emit_partials=emit_partials, append_kv=append_kv, window=window,
         with_bias=bias_qkv is not None,
+        softcap=softcap * _LOG2E if softcap else 0.0,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
-from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops._support import cdiv, glu_act, interpret_mode, round_up
 from clusterfusion_tpu.ops.quant import (
     QuantizedTensor, expand_group_scales, unpack_int4_bitcast)
 
@@ -66,7 +66,7 @@ def _r2(ref):
 
 def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
                 hidden: int, bf: int, eps: float, fuse_residual: bool,
-                wq_kind: str, gs_q: int):
+                wq_kind: str, gs_q: int, ffn_act: str = "silu"):
     it = iter(refs)
     w13_ref = next(it)
     w13_s_ref = next(it) if wq_kind != "none" else None
@@ -111,7 +111,7 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
             * expand_group_scales(sb[1], 0, gs_q)
         y_g = jnp.dot(xn, wg, preferred_element_type=f32)
         y_u = jnp.dot(xn, wu, preferred_element_type=f32)
-    act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
+    act = glu_act(y_g, y_u, ffn_act).astype(jnp.bfloat16)
     # down projection: INT4 packs adjacent rows along f (the reduction
     # axis), so each even-sized f-block stays self-contained; its group
     # scales live along f (rows).
@@ -137,7 +137,8 @@ def _ffn_kernel(s_ref, x_ref, res_ref, normw_ref, *refs,
 
 def fused_ffn(x, residual, norm_w, w13, w2,
               *, eps: float, kcfg: KernelConfig = KernelConfig(),
-              fuse_residual: bool = True, interpret=None, layer_id=0):
+              fuse_residual: bool = True, interpret=None, layer_id=0,
+              ffn_act: str = "silu"):
     """h = x (+ residual); returns (ffn(rmsnorm(h)·w), h).
 
     x/residual: [1, hidden]; norm_w: [1, hidden]; w13: [2, hidden, f_pad]
@@ -237,7 +238,7 @@ def fused_ffn(x, residual, norm_w, w13, w2,
     out, res_out = pl.pallas_call(
         functools.partial(_ffn_kernel, hidden=hidden, bf=bf, eps=eps,
                           fuse_residual=fuse_residual,
-                          wq_kind=wq_kind, gs_q=gs_q),
+                          wq_kind=wq_kind, gs_q=gs_q, ffn_act=ffn_act),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((1, hidden), dt),

@@ -52,7 +52,7 @@ _NEG_INF = -1e30
 def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                           *, bq: int, bk: int, group: int, head_dim: int,
                           n_kb: int, q_offset: int, scale: float,
-                          window: int = 0):
+                          window: int = 0, softcap: float = 0.0):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     rows = bq * group
@@ -85,6 +85,9 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        if softcap:
+            # gemma-2 logit softcap (exp2 domain; cap pre-scaled by log2e)
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         # row r of the panel is query index r // group of this block
         r = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
@@ -123,7 +126,8 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("q_offset", "block_q", "block_k", "window", "interpret"))
+    static_argnames=("q_offset", "block_q", "block_k", "window",
+                     "softcap", "interpret"))
 def flash_prefill_attention(
     q: jnp.ndarray,             # [kv_heads, T, group, head_dim]
     k: jnp.ndarray,             # [kv_heads, S, head_dim], S >= q_offset + T
@@ -133,6 +137,7 @@ def flash_prefill_attention(
     block_q: int = 256,
     block_k: int = 512,
     window: int = 0,
+    softcap: float = 0.0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Causal (chunk-offset) GQA attention over full K/V context.
@@ -184,7 +189,7 @@ def flash_prefill_attention(
         functools.partial(
             _flash_prefill_kernel, bq=bq, bk=bk, group=group, head_dim=hd,
             n_kb=n_kb, q_offset=q_offset, scale=1.0 / (hd ** 0.5),
-            window=window),
+            window=window, softcap=softcap * _LOG2E if softcap else 0.0),
         grid=(kv_heads, n_qb, n_kb),
         in_specs=[
             pl.BlockSpec((1, bq, group, hd), lambda h, qb, kb: (h, qb, 0, 0),

@@ -73,6 +73,8 @@ def _paged_kernel(
     append: bool = False,
     gather: bool = True,
     with_bias: bool = False,
+    softcap: float = 0.0,  # attn logit softcap, pre-multiplied by log2(e)
+    window_pattern: str = "all",  # "even": gemma-2 interleaved local/global
     window: int = 0,      # sliding-window attention (Mistral semantics):
                           # the query at position seq attends positions
                           # >= seq+1-window only; 0 = full context.
@@ -144,8 +146,11 @@ def _paged_kernel(
                 if window:
                     # kick off the FIRST IN-WINDOW chunk's gather (buffer
                     # parity keyed to the chunk ordinal, matching the
-                    # compute loop's rem(c, 2))
+                    # compute loop's rem(c, 2)); pattern "even": odd
+                    # (global) layers start at chunk 0
                     w0 = jnp.maximum(seq + 1 - window, 0) // chunk
+                    if window_pattern == "even":
+                        w0 = jnp.where(l % 2 == 0, w0, 0)
                     for cp in window_copies(w0, jax.lax.rem(w0, 2)):
                         cp.start()
                 else:
@@ -188,9 +193,12 @@ def _paged_kernel(
     chunk_live = jnp.logical_and(c_id >= 1, c * chunk < seq)
     if window:
         # chunks entirely below the window are skipped: no gather DMA was
-        # started for them (see the w0 kick-off) and no compute runs
-        chunk_live = jnp.logical_and(chunk_live,
-                                     (c + 1) * chunk > seq + 1 - window)
+        # started for them (see the w0 kick-off) and no compute runs.
+        # Pattern "even": odd (global) layers walk the full context.
+        wlo = seq + 1 - window
+        if window_pattern == "even":
+            wlo = jnp.where(l % 2 == 0, wlo, 0)
+        chunk_live = jnp.logical_and(chunk_live, (c + 1) * chunk > wlo)
     @pl.when(chunk_live)
     def _():
         if gather:
@@ -212,7 +220,7 @@ def _paged_kernel(
             # chunk mask out (the current token at `seq` is handled by
             # the final step and is always in-window)
             col_valid = jnp.logical_and(
-                col_valid, (pos_base + col_iota) > seq - window)
+                col_valid, (pos_base + col_iota) >= wlo)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             # fp8 pools decode via the bit-twiddle re-bias (see ops.quant);
@@ -231,6 +239,9 @@ def _paged_kernel(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             if kfix != 1.0:
                 scores = scores * kfix
+            if softcap:
+                # gemma-2 softcap (exp2 domain: cap pre-scaled by log2e)
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
             scores = jnp.where(col_valid, scores, _NEG_INF)
 
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
@@ -295,6 +306,8 @@ def _paged_kernel(
                 [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
                  for h in range(hg)], axis=0)
         s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)
+        if softcap:
+            s_cur = softcap * jnp.tanh(s_cur * (1.0 / softcap))
         m_old = ml_s[0, :].reshape(rows, 1)
         l_old = ml_s[1, :].reshape(rows, 1)
         m_f = jnp.maximum(m_old, s_cur)
@@ -342,6 +355,8 @@ def llama_decoder_layer_paged(
     interpret=None,
     bias_qkv=None,
     window: int = 0,
+    softcap: float = 0.0,
+    window_pattern: str = "all",
 ):
     """TPU-native paged batch-decode fused layer.
 
@@ -448,8 +463,11 @@ def llama_decoder_layer_paged(
         j = jnp.minimum(jnp.maximum(c - 1, 0), last)
         if window:
             # below-window pages alias the first in-window page (their
-            # fetch is elided; the kernel body skips their compute)
+            # fetch is elided; the kernel body skips their compute);
+            # pattern "even": odd (global) layers keep the full walk
             first = jnp.maximum(lens_s[b] + 1 - window, 0) // page
+            if window_pattern == "even":
+                first = jnp.where(meta_s[0] % 2 == 0, first, 0)
             j = jnp.maximum(j, jnp.minimum(first, last))
         pg = table_s[b, j]
         return (meta_s[0], pg, g, 0, 0)
@@ -517,7 +535,9 @@ def llama_decoder_layer_paged(
         _paged_kernel, hg=hg, group=group, head_dim=hd, page=page, npp=npp,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         append=in_kernel_append, gather=gather,
-        with_bias=bias_qkv is not None, window=window)
+        with_bias=bias_qkv is not None, window=window,
+        softcap=softcap * _LOG2E if softcap else 0.0,
+        window_pattern=window_pattern)
 
     results = pl.pallas_call(
         kernel,
@@ -654,7 +674,7 @@ def _paged_attn_kernel(
     acc_s, ml_s, kwin_s, vwin_s, win_sem, krow_s, vrow_s, row_sem,
     *,
     kv_heads: int, group: int, head_dim: int, page: int, npp: int,
-    window: int = 0,
+    window: int = 0, softcap: float = 0.0, window_pattern: str = "all",
 ):
     b_id = pl.program_id(0)
     c_id = pl.program_id(1)
@@ -706,8 +726,11 @@ def _paged_attn_kernel(
         def _():
             if window:
                 # start at the first in-window chunk (buffer parity keyed
-                # to the chunk ordinal, matching the compute loop)
+                # to the chunk ordinal, matching the compute loop);
+                # pattern "even": odd (global) layers start at chunk 0
                 w0 = jnp.maximum(n_past + 1 - window, 0) // chunk
+                if window_pattern == "even":
+                    w0 = jnp.where(l % 2 == 0, w0, 0)
                 start_window(w0, jax.lax.rem(w0, 2))
             else:
                 start_window(0, 0)
@@ -716,8 +739,12 @@ def _paged_attn_kernel(
     if window:
         # chunks entirely below the window: no gather was started, no
         # compute runs (the query sits at position n_past — Mistral
-        # semantics: attend >= n_past+1-window only)
-        _live = jnp.logical_and(_live, c_id * chunk > n_past + 1 - window)
+        # semantics: attend >= n_past+1-window only).  Pattern "even":
+        # odd (global) layers walk the full context.
+        _wlo = n_past + 1 - window
+        if window_pattern == "even":
+            _wlo = jnp.where(l % 2 == 0, _wlo, 0)
+        _live = jnp.logical_and(_live, c_id * chunk > _wlo)
     @pl.when(_live)
     def _():
         c = c_id - 1
@@ -734,7 +761,7 @@ def _paged_attn_kernel(
         col_valid = (pos_base + col_iota) < n_past
         if window:
             col_valid = jnp.logical_and(
-                col_valid, (pos_base + col_iota) > n_past - window)
+                col_valid, (pos_base + col_iota) >= _wlo)
         for h in range(kv_heads):
             q = q_ref[0, h].astype(jnp.bfloat16)            # [g, hd]
             kc, kfix = _kv_tile(kwin_s[buf, h])             # [chunk, hd]
@@ -744,6 +771,9 @@ def _paged_attn_kernel(
                 q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
             if kfix != 1.0:
                 scores = scores * kfix
+            if softcap:
+                # gemma-2 softcap (exp2 domain: cap pre-scaled by log2e)
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
             scores = jnp.where(col_valid, scores, _NEG_INF)
             r0 = h * group
             m_old = ml_s[0, r0:r0 + group].reshape(group, 1)
@@ -770,6 +800,8 @@ def _paged_attn_kernel(
         q = q_ref[0].astype(f32)                            # [kv, g, hd]
         s_cur = jnp.sum(q * k_cur[:, None, :], axis=-1,
                         keepdims=True).reshape(rows, 1)
+        if softcap:
+            s_cur = softcap * jnp.tanh(s_cur * (1.0 / softcap))
         m_old = ml_s[0, :].reshape(rows, 1)
         l_old = ml_s[1, :].reshape(rows, 1)
         m_f = jnp.maximum(m_old, s_cur)
@@ -826,6 +858,8 @@ def paged_attention(
     pages_per_step: Optional[int] = None,
     interpret=None,
     window: int = 0,
+    softcap: float = 0.0,
+    window_pattern: str = "all",
 ):
     """Batched paged flash-decode attention + in-place append.
 
@@ -908,7 +942,9 @@ def paged_attention(
     n_inputs_before_pools = 5 + 3
     out, kp, vp = pl.pallas_call(
         functools.partial(_paged_attn_kernel, kv_heads=kv_heads, group=group,
-                          head_dim=hd, page=page, npp=npp, window=window),
+                          head_dim=hd, page=page, npp=npp, window=window,
+                          softcap=softcap * _LOG2E if softcap else 0.0,
+                          window_pattern=window_pattern),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, kv_heads * group * hd), q.dtype),

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
-from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops._support import glu_act, cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
     _int4_dot, _kv_tile, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
@@ -65,6 +65,12 @@ def _stack_kernel(
     rope_style: str, eps: float, wq_kind: str, gs_q: int, w4a8: bool = True,
     kv_kind: str = "none", reduce_axis=None, lm_kind: str = "none",
     window: int = 0, with_bias: bool = False,
+    ffn_act: str = "silu",
+    softcap: float = 0.0,   # attn logit softcap, PRE-multiplied by log2(e)
+    window_pattern: str = "all",  # "all": every layer windowed; "even":
+                                  # gemma-2 interleaved local/global —
+                                  # window applies to even layers only
+    sandwich: bool = False,       # gemma-2 post-attn / post-FFN RMSNorms
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -72,6 +78,7 @@ def _stack_kernel(
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
     bqkv_ref = next(it) if with_bias else None
+    pa_ref, pf_ref = (next(it), next(it)) if sandwich else (None, None)
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
     w13_ref = next(it)
@@ -240,8 +247,13 @@ def _stack_kernel(
         # sliding window (Mistral semantics: attend positions >= seq+1-window
         # only).  Chunks entirely below the window are skipped — the index
         # map clamps their block to the first in-window chunk so they fetch
-        # no KV bytes, and this predicate skips their compute.
-        live = jnp.logical_and(live, (c + 1) * kv_chunk > seq + 1 - window)
+        # no KV bytes, and this predicate skips their compute.  Pattern
+        # "even" (gemma-2 interleaved local/global): odd layers attend the
+        # full context (their lower bound collapses to 0).
+        wlo = seq + 1 - window
+        if window_pattern == "even":
+            wlo = jnp.where(l % 2 == 0, wlo, 0)
+        live = jnp.logical_and(live, (c + 1) * kv_chunk > wlo)
     @pl.when(jnp.logical_and(in_attn, live))
     def _():
         pos_base = c * kv_chunk
@@ -250,9 +262,8 @@ def _stack_kernel(
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
         if window:
-            lo_ = seq + 1 - window
-            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= lo_)
-            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= lo_)
+            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= wlo)
+            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= wlo)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             kc, kfix = _kv_tile(k_ref[0, h])
@@ -274,6 +285,11 @@ def _stack_kernel(
                 skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 scores = scores * skf
+            if softcap:
+                # gemma-2 logit softcapping: cap*tanh(s/cap) on the REAL
+                # logits == (cap*log2e)*tanh(s/(cap*log2e)) in the exp2
+                # domain the kernel scores live in
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
             scores = jnp.where(col_valid, scores, _NEG_INF)
             m_old = ml_s[0, h * group:(h + 1) * group].reshape(group, 1)
             l_old = ml_s[1, h * group:(h + 1) * group].reshape(group, 1)
@@ -305,6 +321,8 @@ def _stack_kernel(
                 [pltpu.repeat(v_cur[h:h + 1, :], group, axis=0)
                  for h in range(hg)], axis=0)
         s_cur = jnp.sum(q * k_rows, axis=-1, keepdims=True)
+        if softcap:
+            s_cur = softcap * jnp.tanh(s_cur * (1.0 / softcap))
         m_old = ml_s[0, :].reshape(rows, 1)
         l_old = ml_s[1, :].reshape(rows, 1)
         m_f = jnp.maximum(m_old, s_cur)
@@ -339,7 +357,14 @@ def _stack_kernel(
             ring_reduce_scratch(aout_s, rrecv_s, rsend_sem, rrecv_sem,
                                 rack_sem, reduce_axis,
                                 first=(l == 0), last=False)
-        r2 = aout_s[...] + res_s[...]
+        aout = aout_s[...]
+        if sandwich:
+            # gemma-2 post_attention_layernorm: normed attn output enters
+            # the residual add (applied after the tp reduce above — the
+            # norm is nonlinear and must see the full sum)
+            av = jnp.mean(aout * aout, axis=-1, keepdims=True)
+            aout = aout * jax.lax.rsqrt(av + eps) * _m2(pa_ref).astype(f32)
+        r2 = aout + res_s[...]
         res_s[...] = r2
         var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
         xnorm_s[...] = r2 * jax.lax.rsqrt(var + eps) * _m2(fn_ref).astype(f32)
@@ -362,7 +387,7 @@ def _stack_kernel(
             sb = _r3(w13_s_ref)
             y_g = _int4_dot(xn, w[0], sb[0], gs_q, w4a8)
             y_u = _int4_dot(xn, w[1], sb[1], gs_q, w4a8)
-        act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
+        act = glu_act(y_g, y_u, ffn_act).astype(jnp.bfloat16)
         if wq_kind == "none":
             ffn_s[...] += jnp.dot(act, _m2(w2_ref),
                                   preferred_element_type=f32)
@@ -401,6 +426,12 @@ def _stack_kernel(
             ring_reduce_scratch(hx_s, rrecv_s, rsend_sem, rrecv_sem,
                                 rack_sem, reduce_axis,
                                 first=False, last=(l == L - 1))
+        if sandwich:
+            # gemma-2 post_feedforward_layernorm: the normed FFN output is
+            # what the next layer's residual add consumes
+            hv = hx_s[...]
+            fv = jnp.mean(hv * hv, axis=-1, keepdims=True)
+            hx_s[...] = hv * jax.lax.rsqrt(fv + eps) * _m2(pf_ref).astype(f32)
 
         @pl.when(l == L - 1)
         def _():
@@ -455,6 +486,11 @@ def fused_decoder_stack(
     reduce_axis=None,
     window: int = 0,
     bias_qkv=None,
+    ffn_act: str = "silu",
+    softcap: float = 0.0,
+    window_pattern: str = "all",
+    post_attn_norm=None,   # [L, hidden] gemma-2 sandwich norms (both or
+    post_ffn_norm=None,    #  neither)
 ):
     """One kernel call for the whole decoder stack (bs=1 decode).
 
@@ -600,8 +636,11 @@ def fused_decoder_stack(
         if window:
             # pre-window chunks alias the first in-window chunk's block —
             # Pallas elides the repeat fetch, so out-of-window KV costs no
-            # HBM bytes (the kernel body skips their compute too)
+            # HBM bytes (the kernel body skips their compute too).  Under
+            # pattern "even", odd (global) layers keep the full walk.
             first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            if window_pattern == "even":
+                first = jnp.where(lx % 2 == 0, first, 0)
             cix = jnp.maximum(cix, jnp.minimum(first, last))
         return (lx, g_of(ta), cix, 0)
 
@@ -634,6 +673,13 @@ def fused_decoder_stack(
         add(bias_qkv, pl.BlockSpec((1, 1, qkv_cols),
                                    lambda ta, s: (l_of(ta), g_of(ta), 0),
                                    memory_space=pltpu.VMEM))
+    sandwich = post_attn_norm is not None
+    assert sandwich == (post_ffn_norm is not None)
+    if sandwich:
+        nspec = pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
+                             memory_space=pltpu.VMEM)
+        add(post_attn_norm[:, None], nspec)
+        add(post_ffn_norm[:, None], nspec)
     add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
                            lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                            memory_space=pltpu.VMEM))
@@ -737,7 +783,9 @@ def fused_decoder_stack(
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none",
         reduce_axis=reduce_axis, lm_kind=lm_kind, window=window,
-        with_bias=bias_qkv is not None)
+        with_bias=bias_qkv is not None, ffn_act=ffn_act,
+        softcap=softcap * _LOG2E if softcap else 0.0,
+        window_pattern=window_pattern, sandwich=sandwich)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
-from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
+from clusterfusion_tpu.ops._support import glu_act, cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
     _int4_dot, _kv_tile, _m2, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
@@ -61,6 +61,8 @@ def _verify_kernel(
     rope_style: str, eps: float, wq_kind: str, gs_q: int,
     w4a8: bool = True, kv_kind: str = "none", Sr: int = 8,
     lm_kind: str = "none", window: int = 0, with_bias: bool = False,
+    ffn_act: str = "silu", softcap: float = 0.0,
+    window_pattern: str = "all", sandwich: bool = False,
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -68,6 +70,7 @@ def _verify_kernel(
     wqkv_ref = next(it)
     wqkv_s_ref = next(it) if wq_kind != "none" else None
     bqkv_ref = next(it) if with_bias else None
+    pa_ref, pf_ref = (next(it), next(it)) if sandwich else (None, None)
     wo_ref = next(it)
     wo_s_ref = next(it) if wq_kind != "none" else None
     w13_ref = next(it)
@@ -231,8 +234,12 @@ def _verify_kernel(
         # >= seq+tok+1-window only.  Chunks entirely below token 0's
         # window (the lowest bound) are skipped — the index map aliases
         # their block, and every column is masked out below anyway.
+        # Pattern "even" (gemma-2): odd layers attend the full context.
+        wlo0 = seq + 1 - window
+        if window_pattern == "even":
+            wlo0 = jnp.where(l % 2 == 0, wlo0, 0)
         chunk_live = jnp.logical_and(
-            chunk_live, (c + 1) * kv_chunk > seq + 1 - window)
+            chunk_live, (c + 1) * kv_chunk > wlo0)
     @pl.when(jnp.logical_and(in_attn, chunk_live))
     def _():
         pos_base = c * kv_chunk
@@ -245,8 +252,12 @@ def _verify_kernel(
             # query position = seq + tok
             qpos = seq + jax.lax.broadcasted_iota(
                 jnp.int32, (group * n, kv_chunk), 0) % n
-            col_valid = jnp.logical_and(col_valid,
-                                        (pos_base + col_iota) > qpos - window)
+            win_ok = (pos_base + col_iota) > qpos - window
+            if window_pattern == "even":
+                # odd (global) layers ignore the window bound (boolean
+                # algebra, not where(): Mosaic rejects i1-vector selects)
+                win_ok = jnp.logical_or(win_ok, l % 2 != 0)
+            col_valid = jnp.logical_and(col_valid, win_ok)
         for h in range(hg):
             r0 = h * group * n
             q = q_s[r0:r0 + group * n, :].astype(jnp.bfloat16)
@@ -263,6 +274,8 @@ def _verify_kernel(
                 skf = ks_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 svf = vs_ref[0, h].reshape(1, rb * 128)[:, :kv_chunk]
                 scores = scores * skf
+            if softcap:
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
             scores = jnp.where(col_valid, scores, _NEG_INF)
             m_old = ml_s[0, r0:r0 + group * n].reshape(group * n, 1)
             l_old = ml_s[1, r0:r0 + group * n].reshape(group * n, 1)
@@ -288,7 +301,10 @@ def _verify_kernel(
         causal = ktok <= qtok
         if window:
             # (positions seq+qtok / seq+ktok; the seq offsets cancel)
-            causal = jnp.logical_and(causal, ktok > qtok - window)
+            win_ok = ktok > qtok - window
+            if window_pattern == "even":
+                win_ok = jnp.logical_or(win_ok, l % 2 != 0)
+            causal = jnp.logical_and(causal, win_ok)
         o_rows = []
         for h in range(hg):
             r0 = h * group * n
@@ -298,6 +314,8 @@ def _verify_kernel(
             s_cur = jax.lax.dot_general(
                 q, k_new, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)             # [group*n, n]
+            if softcap:
+                s_cur = softcap * jnp.tanh(s_cur * (1.0 / softcap))
             s_cur = jnp.where(causal, s_cur, _NEG_INF)
             m_old = ml_s[0, r0:r0 + group * n].reshape(group * n, 1)
             l_old = ml_s[1, r0:r0 + group * n].reshape(group * n, 1)
@@ -327,7 +345,12 @@ def _verify_kernel(
     in_ffn = jnp.logical_and(t >= TA, t < T)
     @pl.when(t == TA)
     def _():
-        r2 = aout_s[...] + res_s[...]
+        aout = aout_s[...]
+        if sandwich:
+            # gemma-2 post_attention_layernorm before the residual add
+            av = jnp.mean(aout * aout, axis=-1, keepdims=True)
+            aout = aout * jax.lax.rsqrt(av + eps) * _m2(pa_ref).astype(f32)
+        r2 = aout + res_s[...]
         res_s[...] = r2
         var = jnp.mean(r2 * r2, axis=-1, keepdims=True)
         xnorm_s[...] = r2 * jax.lax.rsqrt(var + eps) * _m2(fn_ref).astype(f32)
@@ -350,7 +373,7 @@ def _verify_kernel(
             sb = _r3(w13_s_ref)
             y_g = _int4_dot(xn, w[0], sb[0], gs_q, w4a8)
             y_u = _int4_dot(xn, w[1], sb[1], gs_q, w4a8)
-        act = (jax.nn.silu(y_g) * y_u).astype(jnp.bfloat16)
+        act = glu_act(y_g, y_u, ffn_act).astype(jnp.bfloat16)
         if wq_kind == "none":
             ffn_s[...] += jnp.dot(act, _m2(w2_ref),
                                   preferred_element_type=f32)
@@ -374,6 +397,10 @@ def _verify_kernel(
         out = ffn_s[...]
         if wq_kind == "int8":
             out = out * _m2(w2_s_ref)
+        if sandwich:
+            # gemma-2 post_feedforward_layernorm before the next residual
+            fv = jnp.mean(out * out, axis=-1, keepdims=True)
+            out = out * jax.lax.rsqrt(fv + eps) * _m2(pf_ref).astype(f32)
         hx_s[...] = out
 
         @pl.when(l == L - 1)
@@ -416,6 +443,11 @@ def fused_verify_stack(
     lm_head=None,
     window: int = 0,
     bias_qkv=None,
+    ffn_act: str = "silu",
+    softcap: float = 0.0,
+    window_pattern: str = "all",
+    post_attn_norm=None,
+    post_ffn_norm=None,
 ):
     """One kernel call scoring n tokens through the whole decoder stack.
 
@@ -529,8 +561,11 @@ def fused_verify_stack(
             # chunks entirely below draft token 0's window (the lowest
             # bound of the n queries) alias the first in-window chunk —
             # Pallas elides the repeat fetch and the kernel body masks
-            # their columns out (`_verify_kernel` chunk_live/col_valid)
+            # their columns out (`_verify_kernel` chunk_live/col_valid).
+            # Pattern "even": odd (global) layers keep the full walk.
             first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            if window_pattern == "even":
+                first = jnp.where(lx % 2 == 0, first, 0)
             cix = jnp.maximum(cix, jnp.minimum(first, last))
         return (lx, g_of(ta), cix, 0)
 
@@ -561,6 +596,13 @@ def fused_verify_stack(
         add(bias_qkv, pl.BlockSpec((1, 1, qkv_cols),
                                    lambda ta, s: (l_of(ta), g_of(ta), 0),
                                    memory_space=pltpu.VMEM))
+    sandwich = post_attn_norm is not None
+    assert sandwich == (post_ffn_norm is not None)
+    if sandwich:
+        nspec = pl.BlockSpec((1, 1, hidden), lambda ta, s: (l_of(ta), 0, 0),
+                             memory_space=pltpu.VMEM)
+        add(post_attn_norm[:, None], nspec)
+        add(post_ffn_norm[:, None], nspec)
     add(wo_q, pl.BlockSpec((1, 1, wo_rows // pack, hidden),
                            lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
                            memory_space=pltpu.VMEM))
@@ -658,7 +700,9 @@ def fused_verify_stack(
         nc=nc, G=G, bf=bf, nb=nb, hidden=hidden, L=L_, nv=nv, Wr=Wr,
         rope_style=rope_style, eps=eps, wq_kind=wq_kind, gs_q=gs_q,
         w4a8=kcfg.int4_w4a8, kv_kind="int8" if kv8 else "none", Sr=Sr,
-        lm_kind=lm_kind, window=window, with_bias=bias_qkv is not None)
+        lm_kind=lm_kind, window=window, with_bias=bias_qkv is not None,
+        ffn_act=ffn_act, softcap=softcap * _LOG2E if softcap else 0.0,
+        window_pattern=window_pattern, sandwich=sandwich)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))

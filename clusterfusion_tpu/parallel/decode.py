@@ -57,6 +57,12 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     ring backend (collective.py): validated under the interpret simulation
     with race detection; the default path keeps between-kernel XLA psums.
     """
+    if cfg.sandwich_norms:
+        raise NotImplementedError(
+            "sandwich-norm (gemma-2) models are not wired into the "
+            "tensor-parallel decode paths yet — the post-norms must land "
+            "after each in-kernel ring reduce; use the single-chip or "
+            "serving paths")
     tp = mesh.shape["tp"]
     kv_local = cfg.kv_heads // tp
     g = cfg.n_heads // cfg.kv_heads
@@ -88,7 +94,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 group=g, head_dim=hd, rope_style=cfg.rope_style,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode(), append_kv=True,
-                window=cfg.sliding_window, bias_qkv=lw.get("bqkv_f"))
+                window=cfg.sliding_window, bias_qkv=lw.get("bqkv_f"),
+                softcap=cfg.attn_logit_softcap)
             # ICI all-reduce of the row-parallel O-projection — the chip-
             # scope Stage::ATTN reduce (`kernel.cuh:561-568`).
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
@@ -99,7 +106,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             h = model._ffn(
                 ffn_in,
                 jax.lax.dynamic_index_in_dim(lw["w13"], l, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False))
+                jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False),
+                cfg.ffn_act)
             # ICI all-reduce of the row-parallel FFN down-projection
             # (the reference's Stage::FFN reduce minus its fused ReLU —
             # SwiGLU's activation lives before the down-proj).
@@ -150,7 +158,8 @@ def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
             group=g, head_dim=hd, rope_style=cfg.rope_style,
             eps=cfg.norm_eps, kcfg=kcfg, interpret=interp,
             reduce_axis="tp", window=cfg.sliding_window,
-            bias_qkv=lw.get("bqkv_f"))
+            bias_qkv=lw.get("bqkv_f"), ffn_act=cfg.ffn_act,
+            softcap=cfg.attn_logit_softcap)
         # x_out/res_out are fully reduced and replicated: the final norm +
         # vocab-sharded LM head need no further collective
         xn, _ = fused_add_rmsnorm_ref(x_out, res_out, params["final_norm"],
@@ -243,7 +252,8 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
             xn2, res = fused_add_rmsnorm_ref(attn, res,
                                              idx(lw["ffn_norm"], l),
                                              cfg.norm_eps)
-            h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+            h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l),
+                           cfg.ffn_act)
             h = cluster_reduce(h, "tp", Stage.LINEAR)
             return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 

@@ -60,6 +60,11 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     params sharded with ``param_shardings`` (tp on heads/ffn, sp
     replicated); caches with ``cache_shardings_2d``.  Requires
     capacity % sp == 0."""
+    if cfg.sandwich_norms:
+        raise NotImplementedError(
+            "sandwich-norm (gemma-2) models are not wired into the "
+            "sequence-parallel decode path yet; use the single-chip or "
+            "serving paths")
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     g = cfg.n_heads // cfg.kv_heads
     hd = cfg.head_dim_

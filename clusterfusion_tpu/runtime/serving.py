@@ -40,7 +40,8 @@ from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.paged_decoder_layer import (
     llama_decoder_layer_paged, paged_attention)
 from clusterfusion_tpu.ops.quant import QuantizedTensor, maybe_dequantize
-from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.ops.reference import (fused_add_rmsnorm_ref,
+    rmsnorm_ref)
 from clusterfusion_tpu.runtime.native import PagedKVScheduler
 
 
@@ -104,12 +105,24 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
             positions, kp, vp, l, an[None], cfg.norm_eps,
             cos_t, sin_t, group=g, rope_style=cfg.rope_style, kcfg=kcfg,
             interpret=interpret_mode(), bias_qkv=lw.get("bqkv_f"),
-            window=cfg.sliding_window)
+            window=cfg.sliding_window, softcap=cfg.attn_logit_softcap,
+            window_pattern=cfg.window_pattern)
+        attn = attn.astype(x.dtype)
+        if cfg.sandwich_norms:          # gemma-2 post-attn/post-FFN norms
+            attn = rmsnorm_ref(
+                attn, jax.lax.dynamic_index_in_dim(
+                    lw["post_attn_norm"], l, 0, keepdims=False),
+                cfg.norm_eps)
         fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                           keepdims=False)
-        xn2, res = fused_add_rmsnorm_ref(attn.astype(x.dtype), res,
-                                         fn, cfg.norm_eps)
-        h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+        xn2, res = fused_add_rmsnorm_ref(attn, res, fn, cfg.norm_eps)
+        h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l),
+                       cfg.ffn_act)
+        if cfg.sandwich_norms:
+            h = rmsnorm_ref(
+                h, jax.lax.dynamic_index_in_dim(
+                    lw["post_ffn_norm"], l, 0, keepdims=False),
+                cfg.norm_eps)
         return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -120,7 +133,10 @@ def _paged_decode_step(params, k_pool, v_pool, tokens, positions,
                                   cfg.norm_eps)
     # _lm_logits handles both a bf16 matrix and a per-column-int8
     # QuantizedTensor head (dequant commutes with the dot)
-    logits = model._lm_logits(xn, params["lm_head"])       # [B, vocab]
+    logits = model._lm_logits(xn, params["lm_head"])
+    if cfg.final_logit_softcap:
+        _c = cfg.final_logit_softcap
+        logits = _c * jnp.tanh(logits / _c)       # [B, vocab]
     nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
     return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
 
@@ -215,11 +231,12 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
             y = jnp.einsum("bd,udf->buf", x8, w13.q,
                            preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * w13.s[:, 0, :] * xs[:, :, None]
-            act = jax.nn.silu(y[:, 0]) * y[:, 1]
+            from clusterfusion_tpu.ops._support import glu_act
+            act = glu_act(y[:, 0], y[:, 1], cfg.ffn_act)
             a8, as_ = rowq(act)
             z = jnp.dot(a8, w2.q, preferred_element_type=jnp.int32)
             return (z.astype(jnp.float32) * w2.s * as_).astype(xn2.dtype)
-        return model._ffn(xn2, w13, w2)
+        return model._ffn(xn2, w13, w2, cfg.ffn_act)
 
     def layer(carry, l):
         x, res, kp, vp = carry
@@ -242,14 +259,26 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         # pool copy per layer (measured 116.7 -> 14.4 ms/step without it)
         o, kp, vp = paged_attention(q, k, v, kp, vp, block_table, seq_lens,
                                     l, kcfg=kcfg, interpret=interpret_mode(),
-                                    window=cfg.sliding_window)
+                                    window=cfg.sliding_window,
+                                    softcap=cfg.attn_logit_softcap,
+                                    window_pattern=cfg.window_pattern)
         G = lw["wo_f"].shape[1]
         attn = o_dot(o.reshape(B, G, (kv // G) * g * hd),
                      idx(lw["wo_f"], l)).astype(x.dtype)
+        if cfg.sandwich_norms:          # gemma-2 post-attn/post-FFN norms
+            attn = rmsnorm_ref(
+                attn, jax.lax.dynamic_index_in_dim(
+                    lw["post_attn_norm"], l, 0, keepdims=False),
+                cfg.norm_eps)
         fn = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                           keepdims=False)
         xn2, res = fused_add_rmsnorm_ref(attn, res, fn, cfg.norm_eps)
         h = ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l))
+        if cfg.sandwich_norms:
+            h = rmsnorm_ref(
+                h, jax.lax.dynamic_index_in_dim(
+                    lw["post_ffn_norm"], l, 0, keepdims=False),
+                cfg.norm_eps)
         return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
     layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -258,6 +287,9 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)
     logits = model._lm_logits(xn, params["lm_head"])
+    if cfg.final_logit_softcap:
+        _c = cfg.final_logit_softcap
+        logits = _c * jnp.tanh(logits / _c)
     nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
     return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
 
@@ -315,7 +347,7 @@ class ServingEngine:
         assert prefill_chunk is None or (prefill_chunk & (prefill_chunk - 1)) == 0
         self.prefill_chunk = prefill_chunk
         self.sched = PagedKVScheduler(num_pages, page_size, max_pages_per_req)
-        if cfg.sliding_window:
+        if cfg.sliding_window and cfg.window_pattern == "all":
             # rolling page buffer: a windowed request owns at most
             # ceil(window/page)+1 real pages regardless of context length
             # (the +1 is the filling tail page); below-window block-table
