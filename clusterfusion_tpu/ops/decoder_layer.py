@@ -158,6 +158,7 @@ def _decoder_layer_kernel(
                                   # last `window` positions (0 = full context)
     with_bias: bool = False,      # QKV projection bias operand (Qwen2)
     softcap: float = 0.0,         # attn logit softcap, pre-multiplied log2e
+    window_pattern: str = "all",  # "even": gemma-2 — window on even layers
 ):
     it = iter(refs)
     wqkv_ref = next(it)
@@ -280,6 +281,9 @@ def _decoder_layer_kernel(
         # compute here, and kv_index_map clamps their block index up to the
         # first in-window chunk so no KV bytes are fetched for them either.
         lo = seq + 1 - window
+        if window_pattern == "even":
+            # gemma-2 interleaved: odd (global) layers attend full context
+            lo = jnp.where(s_ref[1] % 2 == 0, lo, 0)
         live = jnp.logical_and(live, (c + 1) * kv_chunk > lo)
 
     @pl.when(live)
@@ -290,9 +294,8 @@ def _decoder_layer_kernel(
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (group, kv_chunk), 1)
         col_valid = (pos_base + col_iota) < seq
         if window:
-            lo_ = seq + 1 - window
-            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= lo_)
-            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= lo_)
+            row_valid = jnp.logical_and(row_valid, (pos_base + row_iota) >= lo)
+            col_valid = jnp.logical_and(col_valid, (pos_base + col_iota) >= lo)
         for h in range(hg):
             q = q_s[h * group:(h + 1) * group, :].astype(jnp.bfloat16)
             # fp8 KV caches decode via the bit-twiddle re-bias; the 2**56
@@ -406,6 +409,7 @@ def _fused_decoder_layer(
     window: int = 0,
     bias_qkv=None,    # [L?, G, hg·(group+2)·hd] QKV bias (Qwen2 family)
     softcap: float = 0.0,
+    window_pattern: str = "all",
 ):
     """Core dispatch. Layouts (all pre-fused by the caller, G = kv_heads /
     head_group):
@@ -466,8 +470,11 @@ def _fused_decoder_layer(
         if window:
             # pre-window chunks re-reference the first in-window chunk's
             # block: Pallas elides the repeat fetch, so out-of-window KV
-            # costs no HBM bytes (the kernel body skips their compute too)
+            # costs no HBM bytes (the kernel body skips their compute too).
+            # Pattern "even": odd (global) layers keep the full walk.
             first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            if window_pattern == "even":
+                first = jnp.where(s[1] % 2 == 0, first, 0)
             c = jnp.maximum(c, jnp.minimum(first, last))
         return (s[1], g_i, c, 0)
 
@@ -581,6 +588,7 @@ def _fused_decoder_layer(
         emit_partials=emit_partials, append_kv=append_kv, window=window,
         with_bias=bias_qkv is not None,
         softcap=softcap * _LOG2E if softcap else 0.0,
+        window_pattern=window_pattern,
     )
 
     flops = 2 * hidden * (group + 2) * hd * kv_heads \

@@ -31,6 +31,7 @@ from clusterfusion_tpu.models import llama as model
 from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
 from clusterfusion_tpu.ops.rmsnorm import fused_add_rmsnorm
+from clusterfusion_tpu.ops.reference import rmsnorm_ref
 from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
 from clusterfusion_tpu.parallel.collective import Stage, cluster_reduce
 from clusterfusion_tpu.parallel.sharding import cache_pspec, param_pspecs
@@ -57,12 +58,6 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     ring backend (collective.py): validated under the interpret simulation
     with race detection; the default path keeps between-kernel XLA psums.
     """
-    if cfg.sandwich_norms:
-        raise NotImplementedError(
-            "sandwich-norm (gemma-2) models are not wired into the "
-            "tensor-parallel decode paths yet — the post-norms must land "
-            "after each in-kernel ring reduce; use the single-chip or "
-            "serving paths")
     tp = mesh.shape["tp"]
     kv_local = cfg.kv_heads // tp
     g = cfg.n_heads // cfg.kv_heads
@@ -95,10 +90,17 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode(), append_kv=True,
                 window=cfg.sliding_window, bias_qkv=lw.get("bqkv_f"),
-                softcap=cfg.attn_logit_softcap)
+                softcap=cfg.attn_logit_softcap,
+                window_pattern=cfg.window_pattern)
             # ICI all-reduce of the row-parallel O-projection — the chip-
             # scope Stage::ATTN reduce (`kernel.cuh:561-568`).
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
+            if cfg.sandwich_norms:
+                # gemma-2 post-attn norm: AFTER the reduce (nonlinear)
+                attn = rmsnorm_ref(
+                    attn, jax.lax.dynamic_index_in_dim(
+                        lw["post_attn_norm"], l, 0, keepdims=False),
+                    cfg.norm_eps)
             ffn_norm = jax.lax.dynamic_index_in_dim(lw["ffn_norm"], l, 0,
                                                     keepdims=False)
             ffn_in, residual = fused_add_rmsnorm(attn, residual,
@@ -112,6 +114,11 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             # (the reference's Stage::FFN reduce minus its fused ReLU —
             # SwiGLU's activation lives before the down-proj).
             h = cluster_reduce(h, "tp", Stage.LINEAR)
+            if cfg.sandwich_norms:
+                h = rmsnorm_ref(
+                    h, jax.lax.dynamic_index_in_dim(
+                        lw["post_ffn_norm"], l, 0, keepdims=False),
+                    cfg.norm_eps)
             return (h, residual, kc, vc), None
 
         layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -159,7 +166,10 @@ def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
             eps=cfg.norm_eps, kcfg=kcfg, interpret=interp,
             reduce_axis="tp", window=cfg.sliding_window,
             bias_qkv=lw.get("bqkv_f"), ffn_act=cfg.ffn_act,
-            softcap=cfg.attn_logit_softcap)
+            softcap=cfg.attn_logit_softcap,
+            window_pattern=cfg.window_pattern,
+            post_attn_norm=lw.get("post_attn_norm"),
+            post_ffn_norm=lw.get("post_ffn_norm"))
         # x_out/res_out are fully reduced and replicated: the final norm +
         # vocab-sharded LM head need no further collective
         xn, _ = fused_add_rmsnorm_ref(x_out, res_out, params["final_norm"],

@@ -61,6 +61,9 @@ def pp_param_pspecs(cfg: LlamaConfig) -> Dict[str, Any]:
     }
     if cfg.qkv_bias:
         lp["bqkv_f"] = P("pp", None, None)
+    if cfg.sandwich_norms:
+        lp["post_attn_norm"] = P("pp", None)
+        lp["post_ffn_norm"] = P("pp", None)
     return {"embed": P(), "layers": lp, "final_norm": P(), "lm_head": P()}
 
 

@@ -46,6 +46,10 @@ def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
     if cfg.qkv_bias:
         # [L, G, hg·(g+2)·hd] — G rides tp like wqkv_f's group axis
         specs["layers"]["bqkv_f"] = P(None, "tp", None)
+    if cfg.sandwich_norms:
+        # [L, hidden] norms replicate like attn_norm/ffn_norm
+        specs["layers"]["post_attn_norm"] = P(None, None)
+        specs["layers"]["post_ffn_norm"] = P(None, None)
     return specs
 
 

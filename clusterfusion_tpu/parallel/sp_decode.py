@@ -36,7 +36,8 @@ from clusterfusion_tpu.config import KernelConfig, LlamaConfig
 from clusterfusion_tpu.models import llama as model
 from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
-from clusterfusion_tpu.ops.reference import fused_add_rmsnorm_ref
+from clusterfusion_tpu.ops.reference import (fused_add_rmsnorm_ref,
+    rmsnorm_ref)
 from clusterfusion_tpu.parallel.collective import Stage, cluster_reduce
 from clusterfusion_tpu.parallel.sharding import param_pspecs
 
@@ -60,11 +61,13 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     params sharded with ``param_shardings`` (tp on heads/ffn, sp
     replicated); caches with ``cache_shardings_2d``.  Requires
     capacity % sp == 0."""
-    if cfg.sandwich_norms:
-        raise NotImplementedError(
-            "sandwich-norm (gemma-2) models are not wired into the "
-            "sequence-parallel decode path yet; use the single-chip or "
-            "serving paths")
+    if cfg.sliding_window:
+        raise ValueError(
+            "sliding-window attention is not supported on the "
+            "sequence-parallel decode path: the kernel's window bound is "
+            "relative to its LOCAL KV slice, but the window is defined on "
+            "global positions.  Use tp (heads stay whole-sequence) or the "
+            "serving engine for windowed models.")
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     g = cfg.n_heads // cfg.kv_heads
     hd = cfg.head_dim_
@@ -114,6 +117,9 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                               preferred_element_type=jnp.float32)[None]
             # row-parallel O reduce over tp (Stage::ATTN at chip scope)
             attn = cluster_reduce(attn.astype(x.dtype), "tp", Stage.ATTN)
+            if cfg.sandwich_norms:
+                # gemma-2 post-attn norm, after the cross-chip reduces
+                attn = rmsnorm_ref(attn, p["post_attn_norm"], cfg.norm_eps)
 
             # KV append on the owner chip only
             k_cur = jax.lax.dynamic_slice(
@@ -129,8 +135,10 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
 
             ffn_in, res = fused_add_rmsnorm_ref(attn, res, p["ffn_norm"],
                                                 cfg.norm_eps)
-            h = model._ffn(ffn_in, p["w13"], p["w2"])
+            h = model._ffn(ffn_in, p["w13"], p["w2"], cfg.ffn_act)
             h = cluster_reduce(h.astype(x.dtype), "tp", Stage.LINEAR)
+            if cfg.sandwich_norms:
+                h = rmsnorm_ref(h, p["post_ffn_norm"], cfg.norm_eps)
             return (h, res, kc, vc), None
 
         layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)

@@ -10,7 +10,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_cpu(code: str) -> str:
+def _run_cpu(code: str, timeout: int = 600) -> str:
     env = dict(os.environ)
     # the axon sitecustomize force-registers the TPU backend when this var
     # is present; drop it so the subprocess is a clean CPU JAX
@@ -20,7 +20,7 @@ def _run_cpu(code: str) -> str:
                         + " --xla_force_host_platform_device_count=8").strip()
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, env=env, cwd=REPO, timeout=600)
+                       text=True, env=env, cwd=REPO, timeout=timeout)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     return r.stdout
 
@@ -389,3 +389,105 @@ print("DCN_SERVING_OK")
 """
     out = _run_cpu(code)
     assert "DCN_SERVING_OK" in out
+
+
+def test_gemma_tp_decode_matches_single_device():
+    """Gemma-2 features (sandwich norms + GeGLU + softcaps + interleaved
+    windows) through the tp per-layer AND tp fused-collective paths — the
+    post-norms must land AFTER each cross-chip reduce (in-kernel ring
+    included, race detector on)."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings,
+                                        make_sharded_decode_step)
+
+cfg = LlamaConfig.tiny(max_seq_len=64, ffn_act="gelu_tanh",
+                       sandwich_norms=True, attn_logit_softcap=50.0,
+                       sliding_window=24, window_pattern="even")
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+for k in ("post_attn_norm", "post_ffn_norm"):
+    params["layers"][k] = params["layers"][k] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(3), params["layers"][k].shape, jnp.bfloat16)
+k_cache, v_cache = model.init_cache(cfg)
+prompt = jnp.arange(30, dtype=jnp.int32) % cfg.vocab_size
+_, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+tok = jnp.asarray(9, jnp.int32)
+pos = jnp.asarray(30, jnp.int32)
+ref_logits, _, _ = model.decode_step(params, k_cache, v_cache, tok, pos,
+                                     cfg, fused=True)
+detect = pltpu.InterpretParams(detect_races=True)
+
+mesh = build_mesh(MeshConfig(dp=1, tp=4, sp=1), devices=jax.devices()[:4])
+sp = shard_params(params, cfg, mesh)
+for fused_coll in (False, True):
+    kc = jax.device_put(k_cache, cache_shardings(mesh))
+    vc = jax.device_put(v_cache, cache_shardings(mesh))
+    step = make_sharded_decode_step(
+        cfg, mesh, fused_collectives=fused_coll,
+        **(dict(interpret=detect) if fused_coll else {}))
+    logits, _, _ = step(sp, kc, vc, tok, pos)
+    logits = logits.reshape(-1)[: cfg.vocab_size]
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               atol=0.05, rtol=0.02)
+    print("gemma tp ok fused_collectives=", fused_coll)
+print("GEMMA_TP_OK")
+"""
+    out = _run_cpu(code, timeout=1200)
+    assert "GEMMA_TP_OK" in out
+    assert "RACE DETECTED" not in out
+
+
+def test_gemma_sp_decode_matches_single_device():
+    """Gemma features minus windows on the (tp, sp) path (the sp kernel's
+    window bound is local-slice-relative, so windowed models are rejected
+    there with a clear ValueError)."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings_2d,
+                                        make_sp_sharded_decode_step)
+
+cfg = LlamaConfig.tiny(max_seq_len=64, ffn_act="gelu_tanh",
+                       sandwich_norms=True, attn_logit_softcap=50.0)
+params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+for k in ("post_attn_norm", "post_ffn_norm"):
+    params["layers"][k] = params["layers"][k] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(3), params["layers"][k].shape, jnp.bfloat16)
+k_cache, v_cache = model.init_cache(cfg)
+prompt = jnp.arange(30, dtype=jnp.int32) % cfg.vocab_size
+_, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+tok = jnp.asarray(9, jnp.int32)
+pos = jnp.asarray(30, jnp.int32)
+ref_logits, _, _ = model.decode_step(params, k_cache, v_cache, tok, pos,
+                                     cfg, fused=True)
+
+mesh2 = build_mesh(MeshConfig(dp=1, tp=2, sp=2), devices=jax.devices()[:4])
+sp2 = shard_params(params, cfg, mesh2)
+kc = jax.device_put(k_cache, cache_shardings_2d(mesh2))
+vc = jax.device_put(v_cache, cache_shardings_2d(mesh2))
+step = make_sp_sharded_decode_step(cfg, mesh2)
+logits, _, _ = step(sp2, kc, vc, tok, pos)
+logits = logits.reshape(-1)[: cfg.vocab_size]
+np.testing.assert_allclose(np.asarray(logits, np.float32),
+                           np.asarray(ref_logits, np.float32),
+                           atol=0.05, rtol=0.02)
+import dataclasses
+try:
+    make_sp_sharded_decode_step(
+        dataclasses.replace(cfg, sliding_window=24), mesh2)
+    raise SystemExit("expected ValueError for windowed sp")
+except ValueError:
+    pass
+print("GEMMA_SP_OK")
+"""
+    out = _run_cpu(code, timeout=1200)
+    assert "GEMMA_SP_OK" in out
