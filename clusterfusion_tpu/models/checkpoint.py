@@ -190,8 +190,13 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         rope_theta=hc.get("rope_theta", 10000.0),
         max_seq_len=max_seq_len,
         rope_style="neox",     # HF stores q/k pre-permuted for rotate-half
-        # mistral-family HF configs carry sliding_window (null = full ctx)
-        sliding_window=hc.get("sliding_window") or 0,
+        # mistral-family HF configs carry sliding_window (null = full ctx).
+        # Qwen2/2.5 ship sliding_window=131072 with use_sliding_window=false
+        # — the window must stay OFF there (advisor r4) or a full-context
+        # model gets windowed kernels, rolling-buffer serving, and a
+        # spurious sp-decode error.
+        sliding_window=((hc.get("sliding_window") or 0)
+                        if hc.get("use_sliding_window", True) else 0),
         # gemma-2: interleaved local/global attention, GeGLU, sandwich
         # norms, logit softcaps
         window_pattern="even" if gemma2 else "all",
@@ -216,12 +221,21 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         w = get(name)
         return w + 1.0 if gemma2 else w
 
+    # gemma-2 scales attention logits by 1/sqrt(query_pre_attn_scalar), not
+    # 1/sqrt(head_dim) (27B: scalar 144 vs head_dim 128; 9B: 256 == hd).
+    # The kernels hardcode 1/sqrt(hd), and RoPE commutes with a scalar, so
+    # fold sqrt(hd/scalar) into the q projection columns at load — then
+    # (q·f)·k/sqrt(hd) == q·k/sqrt(scalar) on every path, softcap included.
+    qpas = hc.get("query_pre_attn_scalar")
+    q_mult = float(np.sqrt(cfg.head_dim_ / qpas)) if (gemma2 and qpas) \
+        else 1.0
+
     wqkv_l, wo_l, w13_l, w2_l, an_l, fn_l, bqkv_l = [], [], [], [], [], [], []
     pa_l, pf_l = [], []
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
         wqkv_f, wo_f = fuse_attention_weights(
-            get(pre + "self_attn.q_proj.weight"),
+            get(pre + "self_attn.q_proj.weight") * q_mult,
             get(pre + "self_attn.k_proj.weight"),
             get(pre + "self_attn.v_proj.weight"),
             get(pre + "self_attn.o_proj.weight"), cfg,
@@ -232,7 +246,7 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
             # Qwen2-family QKV bias → grouped-column layout
             from clusterfusion_tpu.models.llama import fuse_qkv_bias
             bqkv_l.append(fuse_qkv_bias(
-                get(pre + "self_attn.q_proj.bias"),
+                get(pre + "self_attn.q_proj.bias") * q_mult,
                 get(pre + "self_attn.k_proj.bias"),
                 get(pre + "self_attn.v_proj.bias"), cfg,
                 head_group=head_group))

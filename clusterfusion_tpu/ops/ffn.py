@@ -145,6 +145,13 @@ def fused_ffn(x, residual, norm_w, w13, w2,
     (stacked (w1, w3), block-padded — see ``pad_ffn_weights``);
     w2: [f_pad, hidden].
 
+    ``ffn_act`` selects the GLU gate activation and defaults to "silu"
+    (SwiGLU — llama/mistral/qwen2/deepseek).  Callers running a GeGLU
+    model (gemma-2) MUST pass ``ffn_act=cfg.ffn_act`` ("gelu_tanh")
+    explicitly — this standalone op has no model config to read it from
+    (the in-tree model paths route through the whole-stack kernel, which
+    threads ``cfg.ffn_act`` itself).
+
     Stacked mode: pass the whole per-layer weight stacks (w13 [L, 2, h, f],
     w2 [L, f, h], norm_w [L, h]) plus ``layer_id`` — the layer is picked in
     the BlockSpec index maps, so a layer-scanned caller never slices the

@@ -99,11 +99,43 @@ class PagedKVScheduler:
         # the token being decoded
         self.max_tokens = max_pages_per_req * page_size - 1
 
-    def set_window_pages(self, window_pages: int) -> None:
+    def set_window(self, window_tokens: int) -> int:
+        """Rolling-buffer mode for a TOKEN window: computes and installs the
+        minimal safe page cap, ``ceil(window/page_size) + 1`` (the +1 is the
+        filling tail page), and returns it.  This is the API serving code
+        should use — it guarantees the recycle-safety invariant
+        ``window_tokens <= (window_pages - 1)·page_size + 1`` by
+        construction (a too-small cap would let ``grow_slot`` recycle a
+        page that still holds in-window KV, silently corrupting attention;
+        see the C contract at ``native/kv_runtime.cpp:cf_pool_set_window``).
+        """
+        if window_tokens <= 0:
+            raise ValueError(f"window_tokens must be > 0, got "
+                             f"{window_tokens}")
+        window_pages = -(-window_tokens // self.page_size) + 1
+        self.set_window_pages(window_pages, _window_tokens=window_tokens)
+        return window_pages
+
+    def set_window_pages(self, window_pages: int,
+                         _window_tokens: int | None = None) -> None:
         """Rolling-buffer mode (sliding-window attention): cap each
         request's REAL pages at ``window_pages``; below-window block-table
         slots become the NULL page (masked by the kernels).  Must be set
-        before any request is added."""
+        before any request is added.
+
+        SAFETY CONTRACT: the attention window (in tokens) must satisfy
+        ``window <= (window_pages - 1)·page_size + 1``, or page recycling
+        overwrites still-in-window KV with no error.  Prefer
+        :meth:`set_window`, which derives the cap from the token window;
+        when calling this low-level form directly, pass ``_window_tokens``
+        to have the invariant checked."""
+        if _window_tokens is not None and \
+                _window_tokens > (window_pages - 1) * self.page_size + 1:
+            raise ValueError(
+                f"window_pages={window_pages} unsafe for a "
+                f"{_window_tokens}-token window at page_size="
+                f"{self.page_size}: recycling would overwrite in-window KV "
+                f"(need >= {-(-_window_tokens // self.page_size) + 1})")
         rc = self._lib.cf_pool_set_window(self._h, window_pages)
         if rc != 0:
             raise ValueError("set_window_pages: bad value or pool in use")

@@ -155,6 +155,15 @@ int32_t cf_pool_free_pages(void* handle) {
 // REAL pages at `window_pages` (ceil(window/page_size)+1 covers every
 // in-window position while the tail page fills).  0 disables.  Returns 0,
 // or -1 on bad args / requests already present.
+// Rolling-buffer page cap.  C API CONTRACT: the caller must guarantee the
+// attention window (tokens) satisfies
+//     window <= (window_pages - 1) * page_size + 1
+// — i.e. window_pages >= ceil(window / page_size) + 1.  A smaller cap makes
+// grow_slot recycle a page that still holds in-window KV, silently
+// corrupting attention; this layer cannot check it (it never learns the
+// token window).  The Python wrapper (runtime/native.py set_window) derives
+// the cap from the token window and enforces the invariant — use that.
+// window_pages == 0 disables the cap.  Fails (-1) once requests exist.
 int32_t cf_pool_set_window(void* handle, int32_t window_pages) {
   auto* pool = static_cast<Pool*>(handle);
   if (window_pages < 0 || !pool->requests.empty()) return -1;

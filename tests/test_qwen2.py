@@ -159,3 +159,62 @@ def test_qwen2_preset_geometry():
     assert cfg.qkv_dim == (28 + 2 * 4) * 128
     from clusterfusion_tpu.ops.stack_kernel import _vocab_block
     assert _vocab_block(cfg.vocab_size) > 0   # LM head fuses in-kernel
+
+
+def test_qwen2_hf_loader_use_sliding_window_gate(tmp_path):
+    """Qwen2/2.5 HF configs ship sliding_window=131072 with
+    use_sliding_window=false — the loader must leave windowing OFF
+    (advisor r4: a spuriously-windowed Qwen2 got windowed kernels,
+    rolling-buffer serving, and an sp-decode hard error), while honoring
+    a genuinely-enabled window and the mistral-style configs that have no
+    use_sliding_window key at all."""
+    import json
+    from safetensors.numpy import save_file
+    from clusterfusion_tpu.models.checkpoint import load_hf_checkpoint
+
+    h, heads, kvh, hd, f, L, V = 256, 2, 1, 128, 512, 1, 512
+    rng = np.random.RandomState(0)
+    st = {"model.embed_tokens.weight":
+          rng.randn(V, h).astype(np.float32) * 0.02,
+          "model.norm.weight": rng.randn(h).astype(np.float32) * 0.1,
+          "lm_head.weight": rng.randn(V, h).astype(np.float32) * 0.02}
+    p = "model.layers.0."
+    st[p + "self_attn.q_proj.weight"] = \
+        rng.randn(heads * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.k_proj.weight"] = \
+        rng.randn(kvh * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.v_proj.weight"] = \
+        rng.randn(kvh * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.o_proj.weight"] = \
+        rng.randn(h, heads * hd).astype(np.float32) * 0.05
+    for nm in ("q", "k", "v"):
+        st[p + f"self_attn.{nm}_proj.bias"] = \
+            rng.randn(st[p + f"self_attn.{nm}_proj.weight"].shape[0]
+                      ).astype(np.float32) * 0.05
+    st[p + "mlp.gate_proj.weight"] = \
+        rng.randn(f, h).astype(np.float32) * 0.05
+    st[p + "mlp.up_proj.weight"] = rng.randn(f, h).astype(np.float32) * 0.05
+    st[p + "mlp.down_proj.weight"] = rng.randn(h, f).astype(np.float32) * 0.05
+    st[p + "input_layernorm.weight"] = rng.randn(h).astype(np.float32) * 0.1
+    st[p + "post_attention_layernorm.weight"] = \
+        rng.randn(h).astype(np.float32) * 0.1
+
+    base = {"model_type": "qwen2", "hidden_size": h,
+            "num_attention_heads": heads, "num_key_value_heads": kvh,
+            "head_dim": hd, "intermediate_size": f, "num_hidden_layers": L,
+            "vocab_size": V, "rms_norm_eps": 1e-6, "rope_theta": 10000.0}
+    for name, extra, want in [
+            # the real Qwen2.5 shape: giant window, gate false -> OFF
+            ("off", {"sliding_window": 131072,
+                     "use_sliding_window": False}, 0),
+            # gate true -> honored
+            ("on", {"sliding_window": 64, "use_sliding_window": True}, 64),
+            # mistral-style: no gate key -> honored (default True)
+            ("nokey", {"sliding_window": 48}, 48)]:
+        d = tmp_path / name
+        d.mkdir()
+        save_file(st, str(d / "model.safetensors"))
+        (d / "config.json").write_text(json.dumps({**base, **extra}))
+        params, cfg = load_hf_checkpoint(str(d), max_seq_len=128)
+        assert cfg.sliding_window == want, (name, cfg.sliding_window)
+        assert cfg.qkv_bias and "bqkv_f" in params["layers"]

@@ -324,3 +324,18 @@ def test_serving_step_impls_agree():
     np.testing.assert_array_equal(outs["fused"][0], outs["batched"][0])
     np.testing.assert_allclose(outs["fused"][1], outs["batched"][1],
                                atol=0.06)
+
+
+def test_set_window_token_api():
+    """Token-window-aware rolling-buffer setup (advisor r4): set_window
+    derives the minimal safe page cap; the low-level set_window_pages
+    rejects a cap that violates the recycle-safety invariant
+    window <= (window_pages-1)*page_size + 1 when told the token window."""
+    sched = PagedKVScheduler(num_pages=32, page_size=8, max_pages_per_req=16)
+    assert sched.set_window(17) == 4          # ceil(17/8)+1
+    # exact-boundary cap passes the invariant (17 <= 2*8+1)
+    sched.set_window_pages(3, _window_tokens=17)
+    with pytest.raises(ValueError):
+        sched.set_window_pages(2, _window_tokens=17)   # 17 > 1*8+1
+    with pytest.raises(ValueError):
+        sched.set_window(0)
