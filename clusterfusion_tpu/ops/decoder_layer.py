@@ -98,6 +98,28 @@ def _int4_dot(x, w_val, s_val, gs: int, w4a8: bool):
     return jnp.dot(x, wb, preferred_element_type=jnp.float32)
 
 
+def _oproj_dot(o, wo_val, hd: int):
+    """O-projection contraction: o [rows, hd] x wo [rows·hd, hidden] ->
+    f32 [1, hidden].
+
+    At hd % 128 == 0 this is one MXU dot over the lane-collapsed
+    [1, rows·hd] view.  For sub-128-lane head dims (hd=64 — TinyLlama /
+    Qwen2-0.5B) Mosaic rejects that collapse ("unsupported shape cast"
+    vector<Rx64> -> vector<1xR·64>), so the contraction runs as per-row
+    [1, hd] x [hd, hidden] dots summed — same math, weights stay
+    VMEM-resident, only MXU row occupancy drops (negligible at M=1)."""
+    rows = o.shape[0]
+    if hd % 128 == 0:
+        return jnp.dot(o.reshape(1, rows * hd), wo_val,
+                       preferred_element_type=jnp.float32)
+    acc = None
+    for r in range(rows):
+        part = jnp.dot(o[r:r + 1], wo_val[r * hd:(r + 1) * hd],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _kv_tile(tile):
     """Loaded KV tile -> (bf16 tile, static f32 dot fixup).
 
@@ -275,12 +297,16 @@ def _decoder_layer_kernel(
     c = c_id - 1   # chunk index for steps >= 1
     live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
     if window:
-        # sliding window: the query (position seq) attends only positions
-        # >= lo = seq+1-window (Mistral semantics — the current token counts
-        # inside the window).  Chunks entirely below lo are skipped: no
-        # compute here, and kv_index_map clamps their block index up to the
-        # first in-window chunk so no KV bytes are fetched for them either.
-        lo = seq + 1 - window
+        # sliding window: the query attends only positions >= lo (Mistral
+        # semantics — the current token counts inside the window).  lo is
+        # the prefetched s[3] in THIS kernel's local KV coordinates: the
+        # single-device caller passes seq+1-window; the sequence-parallel
+        # caller translates the global bound into each chip's slice
+        # (sp_decode.py), which is what makes windows + sp composable.
+        # Chunks entirely below lo are skipped: no compute here, and
+        # kv_index_map clamps their block index up to the first in-window
+        # chunk so no KV bytes are fetched for them either.
+        lo = s_ref[3]
         if window_pattern == "even":
             # gemma-2 interleaved: odd (global) layers attend full context
             lo = jnp.where(s_ref[1] % 2 == 0, lo, 0)
@@ -407,6 +433,11 @@ def _fused_decoder_layer(
     fold_current=1,
     append_kv: bool = False,
     window: int = 0,
+    window_lo=None,   # dynamic int32 scalar: first in-window position in
+                      # THIS cache's local coordinates; defaults to
+                      # seq_len+1-window.  Sequence-parallel callers pass
+                      # pos+1-window-shard_start so a global window maps
+                      # correctly onto each chip's KV slice.
     bias_qkv=None,    # [L?, G, hg·(group+2)·hd] QKV bias (Qwen2 family)
     softcap: float = 0.0,
     window_pattern: str = "all",
@@ -471,8 +502,9 @@ def _fused_decoder_layer(
             # pre-window chunks re-reference the first in-window chunk's
             # block: Pallas elides the repeat fetch, so out-of-window KV
             # costs no HBM bytes (the kernel body skips their compute too).
+            # s[3] is the window's first valid LOCAL position (see body).
             # Pattern "even": odd (global) layers keep the full walk.
-            first = jnp.maximum(s[0] + 1 - window, 0) // chunk
+            first = jnp.maximum(s[3], 0) // chunk
             if window_pattern == "even":
                 first = jnp.where(s[1] % 2 == 0, first, 0)
             c = jnp.maximum(c, jnp.minimum(first, last))
@@ -598,9 +630,13 @@ def _fused_decoder_layer(
               + (0 if emit_partials else wo_q.size * wo_q.dtype.itemsize)) \
         + 2 * kv_heads * cap * hd * k_cache.dtype.itemsize
 
+    if window_lo is None:
+        window_lo = jnp.asarray(seq_len, jnp.int32) + 1 - window if window \
+            else 0
     seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
                          jnp.asarray(layer_id, jnp.int32).reshape(()),
-                         jnp.asarray(fold_current, jnp.int32).reshape(())])
+                         jnp.asarray(fold_current, jnp.int32).reshape(()),
+                         jnp.asarray(window_lo, jnp.int32).reshape(())])
 
     if emit_partials:
         acc, ml, res_out, k_new, v_new = pl.pallas_call(

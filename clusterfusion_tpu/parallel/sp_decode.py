@@ -61,13 +61,6 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     params sharded with ``param_shardings`` (tp on heads/ffn, sp
     replicated); caches with ``cache_shardings_2d``.  Requires
     capacity % sp == 0."""
-    if cfg.sliding_window:
-        raise ValueError(
-            "sliding-window attention is not supported on the "
-            "sequence-parallel decode path: the kernel's window bound is "
-            "relative to its LOCAL KV slice, but the window is defined on "
-            "global positions.  Use tp (heads stay whole-sequence) or the "
-            "serving engine for windowed models.")
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     g = cfg.n_heads // cfg.kv_heads
     hd = cfg.head_dim_
@@ -81,6 +74,13 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
         fold = jnp.logical_and(pos >= start,
                                pos < start + cap_l).astype(jnp.int32)
         pos_local = jnp.clip(pos - start, 0, cap_l - 1)
+        # sliding window on the sp path: the window is defined on GLOBAL
+        # positions ([pos+1-window, pos]); translate its lower bound into
+        # this chip's local slice coordinates for the kernel (negative ⇒
+        # shard fully inside the window; >= seq_local ⇒ shard fully below
+        # it, every chunk skipped and the partial merges as (m=-inf, l=0)).
+        win_lo = (pos + 1 - cfg.sliding_window - start
+                  if cfg.sliding_window else None)
 
         cos_t, sin_t = model.rope_table(cfg)
         cos = jax.lax.dynamic_slice(cos_t, (pos, 0), (1, hd))
@@ -103,6 +103,9 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                 fuse_residual=True, eps=cfg.norm_eps, kcfg=kcfg,
                 interpret=interpret_mode(),
                 emit_partials=True, fold_current=fold,
+                window=cfg.sliding_window, window_lo=win_lo,
+                window_pattern=cfg.window_pattern,
+                softcap=cfg.attn_logit_softcap,
                 bias_qkv=p.get("bqkv_f"))
             # chip-scope softmax merge over sp (kernel.cuh:506-551 algebra)
             m, lsum = ml[0], ml[1]                     # [rows_local]

@@ -443,10 +443,71 @@ print("GEMMA_TP_OK")
     assert "RACE DETECTED" not in out
 
 
+def test_windowed_sp_decode_matches_single_device():
+    """Sliding-window (Mistral-style, pattern "all") decode on the
+    sequence-parallel path: the global window bound pos+1-window is
+    translated into each chip's local KV-slice coordinates
+    (sp_decode.py win_lo -> kernel prefetch s[3]), so a window spanning
+    the shard boundary masks exactly the same positions as the
+    single-device windowed oracle.  Covers: window crossing shards
+    (chip 0 partially in-window), a chip fully below the window
+    (all chunks skipped, partial merges as m=-inf/l=0), and the
+    full-history case (window wider than the live context)."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings_2d,
+                                        make_sp_sharded_decode_step)
+
+for window, n_prompt in [(24, 44),   # wlo=21: crosses the sp=2 boundary
+                         (8, 44),    # wlo=37: chip 0 fully below window
+                         (24, 10)]:  # window > live context: full history
+    cfg = LlamaConfig.tiny(max_seq_len=64, sliding_window=window)
+    params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+    k_cache, v_cache = model.init_cache(cfg)
+    prompt = (jnp.arange(n_prompt, dtype=jnp.int32) * 5 + 3) % cfg.vocab_size
+    _, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+    tok = jnp.asarray(9, jnp.int32)
+    pos = jnp.asarray(n_prompt, jnp.int32)
+    ref_logits, ref_k, ref_v = model.decode_step(params, k_cache, v_cache,
+                                                 tok, pos, cfg, fused=True)
+    for tp, sp in [(2, 2), (1, 4)]:
+        mesh = build_mesh(MeshConfig(dp=1, tp=tp, sp=sp),
+                          devices=jax.devices()[: tp * sp])
+        sparams = shard_params(params, cfg, mesh)
+        kc = jax.device_put(k_cache, cache_shardings_2d(mesh))
+        vc = jax.device_put(v_cache, cache_shardings_2d(mesh))
+        step = make_sp_sharded_decode_step(cfg, mesh)
+        logits, kc, vc = step(sparams, kc, vc, tok, pos)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(ref_logits, np.float32),
+                                   atol=0.05, rtol=0.02)
+        # second step: append landed + window slid by one
+        logits2, kc, vc = step(sparams, kc, vc, jnp.asarray(4, jnp.int32),
+                               jnp.asarray(n_prompt + 1, jnp.int32))
+        ref2, _, _ = model.decode_step(params, ref_k, ref_v,
+                                       jnp.asarray(4, jnp.int32),
+                                       jnp.asarray(n_prompt + 1, jnp.int32),
+                                       cfg, fused=True)
+        np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                                   np.asarray(ref2, np.float32),
+                                   atol=0.05, rtol=0.02)
+        print(f"windowed sp ok w={window} np={n_prompt} tp={tp} sp={sp}")
+print("WINDOWED_SP_OK")
+"""
+    out = _run_cpu(code, timeout=1800)
+    assert "WINDOWED_SP_OK" in out
+    assert "RACE DETECTED" not in out
+
+
 def test_gemma_sp_decode_matches_single_device():
-    """Gemma features minus windows on the (tp, sp) path (the sp kernel's
-    window bound is local-slice-relative, so windowed models are rejected
-    there with a clear ValueError)."""
+    """The full gemma-2 feature set INCLUDING interleaved local/global
+    windows on the (tp, sp) path: even layers run the translated local
+    window bound, odd layers full context (kernel gates s[3] on layer
+    parity)."""
     code = """
 import numpy as np
 import jax, jax.numpy as jnp
@@ -457,16 +518,19 @@ from clusterfusion_tpu.parallel import (build_mesh, shard_params,
                                         make_sp_sharded_decode_step)
 
 cfg = LlamaConfig.tiny(max_seq_len=64, ffn_act="gelu_tanh",
-                       sandwich_norms=True, attn_logit_softcap=50.0)
+                       sandwich_norms=True, attn_logit_softcap=50.0,
+                       sliding_window=24, window_pattern="even")
 params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
 for k in ("post_attn_norm", "post_ffn_norm"):
     params["layers"][k] = params["layers"][k] + 0.3 * jax.random.normal(
         jax.random.PRNGKey(3), params["layers"][k].shape, jnp.bfloat16)
 k_cache, v_cache = model.init_cache(cfg)
-prompt = jnp.arange(30, dtype=jnp.int32) % cfg.vocab_size
+# 40 live tokens: at sp=2 (32-position shards) the even-layer window
+# [17, 40] crosses the shard boundary while odd layers read full history
+prompt = jnp.arange(40, dtype=jnp.int32) % cfg.vocab_size
 _, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
 tok = jnp.asarray(9, jnp.int32)
-pos = jnp.asarray(30, jnp.int32)
+pos = jnp.asarray(40, jnp.int32)
 ref_logits, _, _ = model.decode_step(params, k_cache, v_cache, tok, pos,
                                      cfg, fused=True)
 
@@ -480,13 +544,6 @@ logits = logits.reshape(-1)[: cfg.vocab_size]
 np.testing.assert_allclose(np.asarray(logits, np.float32),
                            np.asarray(ref_logits, np.float32),
                            atol=0.05, rtol=0.02)
-import dataclasses
-try:
-    make_sp_sharded_decode_step(
-        dataclasses.replace(cfg, sliding_window=24), mesh2)
-    raise SystemExit("expected ValueError for windowed sp")
-except ValueError:
-    pass
 print("GEMMA_SP_OK")
 """
     out = _run_cpu(code, timeout=1200)
