@@ -151,7 +151,9 @@ def _chosen_logprob(logits: jnp.ndarray, chosen: jnp.ndarray) -> jnp.ndarray:
 
 def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                                block_table, seq_lens, key, temperatures,
-                               top_ps, cfg: LlamaConfig, kcfg: KernelConfig):
+                               top_ps, cfg: LlamaConfig, kcfg: KernelConfig,
+                               k_pool_loc=None, v_pool_loc=None,
+                               table_loc=None, split_pools: bool = False):
     """Batched-matmul serving step (the B >= 4 design point).
 
     The fused per-layer megakernel re-runs its M=1 projection GEMVs per
@@ -167,6 +169,17 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
     scales applied to the int32 result).  Off by default: measured
     perf-neutral on v5e (XLA already overlaps the fused int8→bf16 weight
     convert with the stream), and W8A16 is exacter.
+
+    ``split_pools`` (gemma-2 ``window_pattern="even"`` rolling-buffer
+    serving): the windowed EVEN layers read/append a separate
+    O(window·batch) ring pool (``k_pool_loc``/``v_pool_loc`` with the
+    per-slot ring ``table_loc`` built by the engine), while the
+    full-context ODD layers keep the scheduler-managed ``k_pool``; both
+    pools are then [L/2, pages, ...] and the layer scan walks PAIRS, so
+    even-layer serving memory is capped at the window regardless of
+    context length.  The window mask becomes static per call (even call:
+    ``window=cfg.sliding_window`` pattern "all"; odd call: no window)
+    instead of the in-kernel layer-parity gate.
     """
     B = tokens.shape[0]
     g = cfg.n_heads // cfg.kv_heads
@@ -238,8 +251,11 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
             return (z.astype(jnp.float32) * w2.s * as_).astype(xn2.dtype)
         return model._ffn(xn2, w13, w2, cfg.ffn_act)
 
-    def layer(carry, l):
-        x, res, kp, vp = carry
+    def layer_body(x, res, l, kp, vp, table, pool_l, window, pattern):
+        """One decoder layer: ``l`` indexes the weight stacks, ``pool_l``
+        the (possibly half-height, split_pools) KV pool, ``table`` the
+        matching block table; ``window``/``pattern`` are this call's
+        STATIC window configuration."""
         an = jax.lax.dynamic_index_in_dim(lw["attn_norm"], l, 0,
                                           keepdims=False)
         xn, res = fused_add_rmsnorm_ref(x, res, an, cfg.norm_eps)
@@ -257,11 +273,12 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         # current token folded + appended INSIDE the kernel (aliased pools):
         # an XLA scatter next to a pallas pool operand materializes a full
         # pool copy per layer (measured 116.7 -> 14.4 ms/step without it)
-        o, kp, vp = paged_attention(q, k, v, kp, vp, block_table, seq_lens,
-                                    l, kcfg=kcfg, interpret=interpret_mode(),
-                                    window=cfg.sliding_window,
+        o, kp, vp = paged_attention(q, k, v, kp, vp, table, seq_lens,
+                                    pool_l, kcfg=kcfg,
+                                    interpret=interpret_mode(),
+                                    window=window,
                                     softcap=cfg.attn_logit_softcap,
-                                    window_pattern=cfg.window_pattern)
+                                    window_pattern=pattern)
         G = lw["wo_f"].shape[1]
         attn = o_dot(o.reshape(B, G, (kv // G) * g * hd),
                      idx(lw["wo_f"], l)).astype(x.dtype)
@@ -279,11 +296,36 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                 h, jax.lax.dynamic_index_in_dim(
                     lw["post_ffn_norm"], l, 0, keepdims=False),
                 cfg.norm_eps)
-        return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
+        return h.astype(x.dtype), res.astype(x.dtype), kp, vp
 
-    layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, residual, k_pool, v_pool), _ = jax.lax.scan(
-        layer, (x, residual, k_pool, v_pool), layer_idx)
+    if split_pools:
+        # gemma-2 interleaved rolling-buffer mode: scan layer PAIRS — the
+        # even (local) layer over the capped ring pool with a static
+        # window, the odd (global) layer over the full scheduler pool
+        def pair(carry, i):
+            x, res, kpg, vpg, kpl, vpl = carry
+            x, res, kpl, vpl = layer_body(
+                x, res, 2 * i, kpl, vpl, table_loc, i,
+                cfg.sliding_window, "all")
+            x, res, kpg, vpg = layer_body(
+                x, res, 2 * i + 1, kpg, vpg, block_table, i, 0, "all")
+            return (x, res, kpg, vpg, kpl, vpl), None
+
+        pair_idx = jnp.arange(cfg.n_layers // 2, dtype=jnp.int32)
+        (x, residual, k_pool, v_pool, k_pool_loc, v_pool_loc), _ = \
+            jax.lax.scan(pair, (x, residual, k_pool, v_pool,
+                                k_pool_loc, v_pool_loc), pair_idx)
+    else:
+        def layer(carry, l):
+            x, res, kp, vp = carry
+            x, res, kp, vp = layer_body(x, res, l, kp, vp, block_table, l,
+                                        cfg.sliding_window,
+                                        cfg.window_pattern)
+            return (x, res, kp, vp), None
+
+        layer_idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, residual, k_pool, v_pool), _ = jax.lax.scan(
+            layer, (x, residual, k_pool, v_pool), layer_idx)
     xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                   cfg.norm_eps)
     logits = model._lm_logits(xn, params["lm_head"])
@@ -291,6 +333,9 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         _c = cfg.final_logit_softcap
         logits = _c * jnp.tanh(logits / _c)
     nxt = sample_batch(key, logits, temperatures, top_ps).astype(jnp.int32)
+    if split_pools:
+        return (nxt, _chosen_logprob(logits, nxt), k_pool, v_pool,
+                k_pool_loc, v_pool_loc)
     return nxt, _chosen_logprob(logits, nxt), k_pool, v_pool
 
 
@@ -312,10 +357,21 @@ def _jitted_step(step_impl: str, cfg: LlamaConfig, kcfg: KernelConfig):
     key = (step_impl, cfg, kcfg.key())
     fn = _STEP_CACHE.get(key)
     if fn is None:
-        impl = (_paged_decode_step_batched if step_impl == "batched"
-                else _paged_decode_step)
-        fn = jax.jit(functools.partial(impl, cfg=cfg, kcfg=kcfg),
-                     donate_argnums=(1, 2))
+        if step_impl == "batched_evenwin":
+            # gemma-2 rolling-buffer mode: the caller passes k_pool_loc /
+            # v_pool_loc / table_loc as KEYWORDS (cfg/kcfg sit between
+            # them and the standard positionals); local pools donated
+            # alongside the global ones
+            fn = jax.jit(functools.partial(_paged_decode_step_batched,
+                                           cfg=cfg, kcfg=kcfg,
+                                           split_pools=True),
+                         donate_argnums=(1, 2),
+                         donate_argnames=("k_pool_loc", "v_pool_loc"))
+        else:
+            impl = (_paged_decode_step_batched if step_impl == "batched"
+                    else _paged_decode_step)
+            fn = jax.jit(functools.partial(impl, cfg=cfg, kcfg=kcfg),
+                         donate_argnums=(1, 2))
         _STEP_CACHE[key] = fn
     return fn
 
@@ -352,18 +408,10 @@ class ServingEngine:
             # ceil(window/page)+1 real pages regardless of context length
             # (the +1 is the filling tail page); below-window block-table
             # slots hold the NULL page, which the window-aware kernels
-            # never read
-            self.sched.set_window_pages(
-                -(-cfg.sliding_window // page_size) + 1)
+            # never read.  set_window derives + validates the page cap
+            # from the token window (recycle-safety contract in native.py).
+            self.sched.set_window(cfg.sliding_window)
         self.max_batch = max_batch
-        # heads before the page axis: the paged kernel's KV blocks tile
-        # (page, head_dim), so any head-group size stays legal on TPU
-        shape = (cfg.n_layers, num_pages, cfg.kv_heads, page_size,
-                 cfg.head_dim_)
-        self.k_pool = jnp.zeros(shape, kv_dtype)
-        self.v_pool = jnp.zeros(shape, kv_dtype)
-        self._reqs: Dict[int, _Req] = {}
-        self._key = jax.random.PRNGKey(seed)
         # "batched": weights stream once per step at M=B (the B>=4
         # design point); "fused": the per-layer megakernel (B=1 parity).
         # Default: batched, EXCEPT for int4 params — the batched step's
@@ -376,7 +424,40 @@ class ServingEngine:
             step_impl = ("fused" if isinstance(w, _QT) and w.kind == "int4"
                          else "batched")
         assert step_impl in ("batched", "fused")
-        self._step = _jitted_step(step_impl, cfg, kcfg)
+        # gemma-2 interleaved local/global serving: the batched step
+        # upgrades to split pools — windowed EVEN layers live in a
+        # fixed-size per-slot ring pool of max_batch·(ceil(window/page)+1)
+        # pages (O(window·batch) memory regardless of context), while the
+        # full-context ODD layers keep the scheduler-managed pool, now
+        # only L/2 layers deep.  The "fused" per-layer impl keeps the
+        # legacy single full-height pool (window masked by layer parity
+        # in-kernel, no memory cap).
+        self.evenwin = bool(cfg.sliding_window) \
+            and cfg.window_pattern == "even" and step_impl == "batched"
+        self.step_impl = "batched_evenwin" if self.evenwin else step_impl
+        # heads before the page axis: the paged kernel's KV blocks tile
+        # (page, head_dim), so any head-group size stays legal on TPU
+        if self.evenwin:
+            assert cfg.n_layers % 2 == 0, cfg.n_layers
+            self.window_pages = -(-cfg.sliding_window // page_size) + 1
+            Lh = cfg.n_layers // 2
+            shape = (Lh, num_pages, cfg.kv_heads, page_size, cfg.head_dim_)
+            n_loc = max_batch * self.window_pages + 1      # page 0 = NULL
+            shape_loc = (Lh, n_loc, cfg.kv_heads, page_size, cfg.head_dim_)
+            self.k_pool_loc = jnp.zeros(shape_loc, kv_dtype)
+            self.v_pool_loc = jnp.zeros(shape_loc, kv_dtype)
+            # ring slots: request -> fixed page range in the local pool
+            self._slot_of: Dict[int, int] = {}
+            self._free_slots: List[int] = list(range(max_batch))
+            self._batch_ids: set = set()
+        else:
+            shape = (cfg.n_layers, num_pages, cfg.kv_heads, page_size,
+                     cfg.head_dim_)
+        self.k_pool = jnp.zeros(shape, kv_dtype)
+        self.v_pool = jnp.zeros(shape, kv_dtype)
+        self._reqs: Dict[int, _Req] = {}
+        self._key = jax.random.PRNGKey(seed)
+        self._step = _jitted_step(self.step_impl, cfg, kcfg)
         # failure detection (SURVEY §5): consecutive fully-failed steps
         # before the engine declares itself unhealthy
         self._bad_steps = 0
@@ -461,17 +542,41 @@ class ServingEngine:
         owned = self.sched.request_pages(req.id)
         n_used = min(len(owned), cap // page)
         pages = owned[:n_used]
-        k_pages = (kc[:, :, : n_used * page]
-                   .reshape(cfg.n_layers, cfg.kv_heads, n_used, page,
-                            cfg.head_dim_).transpose(0, 2, 1, 3, 4))
-        v_pages = (vc[:, :, : n_used * page]
-                   .reshape(cfg.n_layers, cfg.kv_heads, n_used, page,
-                            cfg.head_dim_).transpose(0, 2, 1, 3, 4))
+
+        def to_pages(c, j0, j1):
+            """cache [Lx, kv, cap, hd] rows [j0·page, j1·page) as page
+            blocks [Lx, j1-j0, kv, page, hd]."""
+            return (c[:, :, j0 * page: j1 * page]
+                    .reshape(c.shape[0], cfg.kv_heads, j1 - j0, page,
+                             cfg.head_dim_).transpose(0, 2, 1, 3, 4))
+
         pages_j = jnp.asarray(np.asarray(pages), jnp.int32)
-        self.k_pool = self.k_pool.at[:, pages_j].set(
-            k_pages.astype(self.k_pool.dtype))
-        self.v_pool = self.v_pool.at[:, pages_j].set(
-            v_pages.astype(self.v_pool.dtype))
+        if self.evenwin:
+            # odd (full-context) layers -> scheduler pages of the global
+            # pool; even (windowed) layers -> this request's ring slot in
+            # the local pool: absolute page j lands at base + (j mod wp),
+            # only pages holding in-window rows are written (older ring
+            # content is out-of-window and never read)
+            self.k_pool = self.k_pool.at[:, pages_j].set(
+                to_pages(kc[1::2], 0, n_used).astype(self.k_pool.dtype))
+            self.v_pool = self.v_pool.at[:, pages_j].set(
+                to_pages(vc[1::2], 0, n_used).astype(self.v_pool.dtype))
+            wp = self.window_pages
+            slot = self._ensure_slot(req.id)
+            base = 1 + slot * wp
+            j_hi = -(-T // page)                   # pages with real rows
+            j_lo = max(0, (T + 1 - cfg.sliding_window) // page)
+            ring = np.asarray([base + (j % wp) for j in range(j_lo, j_hi)],
+                              np.int32)
+            self.k_pool_loc = self.k_pool_loc.at[:, ring].set(
+                to_pages(kc[0::2], j_lo, j_hi).astype(self.k_pool.dtype))
+            self.v_pool_loc = self.v_pool_loc.at[:, ring].set(
+                to_pages(vc[0::2], j_lo, j_hi).astype(self.v_pool.dtype))
+        else:
+            self.k_pool = self.k_pool.at[:, pages_j].set(
+                to_pages(kc, 0, n_used).astype(self.k_pool.dtype))
+            self.v_pool = self.v_pool.at[:, pages_j].set(
+                to_pages(vc, 0, n_used).astype(self.v_pool.dtype))
         if readmit:
             # resume mid-generation: the next step feeds the last generated
             # token; sampling again would duplicate a token in the output
@@ -486,6 +591,33 @@ class ServingEngine:
                 last_logits[None], jnp.asarray([tok], jnp.int32))[0]))
         self._maybe_finish(req)
 
+    def _ensure_slot(self, req_id: int) -> int:
+        """Ring slot for a request in evenwin mode.  Slots are fixed page
+        ranges in the local pool; at most ``max_batch`` requests are ever
+        in a prepared batch, so a slot can always be found — if the free
+        list is empty, steal one from a request NOT in the current batch
+        (such a request was preempted under the recompute policy: its
+        pages are freed and its next admission re-prefills from scratch,
+        ring included)."""
+        s = self._slot_of.get(req_id)
+        if s is not None:
+            return s
+        if not self._free_slots:
+            victim = next(r for r in self._slot_of
+                          if r not in self._batch_ids)
+            self._free_slots.append(self._slot_of.pop(victim))
+        s = self._free_slots.pop()
+        self._slot_of[req_id] = s
+        return s
+
+    def _release(self, req_id: int) -> None:
+        """Free scheduler pages and (evenwin) the ring slot."""
+        self.sched.release(req_id)
+        if self.evenwin:
+            s = self._slot_of.pop(req_id, None)
+            if s is not None:
+                self._free_slots.append(s)
+
     def _fail(self, req: _Req, msg: str) -> None:
         """Kill ONE request (numeric fault / prefill exception): evict it,
         keep its partial output + error readable, keep the engine serving.
@@ -493,7 +625,7 @@ class ServingEngine:
         req.error = msg
         if not req.done:
             req.done = True
-            self.sched.release(req.id)
+            self._release(req.id)
 
     def _maybe_finish(self, req: _Req) -> None:
         hit_eos = self.eos_id is not None and req.generated \
@@ -502,7 +634,7 @@ class ServingEngine:
         if (hit_eos or len(req.generated) >= req.max_gen_len
                 or total > self.sched.max_tokens):
             req.done = True
-            self.sched.release(req.id)
+            self._release(req.id)
 
     # -- decode loop -----------------------------------------------------------
 
@@ -515,6 +647,8 @@ class ServingEngine:
         B = len(ids)
         if B == 0:
             return False
+        if self.evenwin:
+            self._batch_ids = {int(i) for i in ids}
 
         for b in range(B):
             if fresh[b]:
@@ -562,11 +696,34 @@ class ServingEngine:
             temps[b] = r.temperature
             tops[b] = r.top_p
         self._key, sub = jax.random.split(self._key)
-        nxt, lp, self.k_pool, self.v_pool = self._step(
-            self.params, self.k_pool, self.v_pool,
-            jnp.asarray(tokens), jnp.asarray(poss_p),
-            jnp.asarray(table_p), jnp.asarray(lens_p), sub,
-            jnp.asarray(temps), jnp.asarray(tops))
+        if self.evenwin:
+            # per-slot ring block table for the windowed even layers:
+            # absolute page j of row b -> slot base + (j mod wp) for the
+            # pages holding in-window rows (plus the append target page);
+            # below-window entries stay NULL (never walked — the kernel's
+            # window clamp starts at the first in-window page)
+            wp, W = self.window_pages, self.cfg.sliding_window
+            table_l = np.zeros((mb, w), np.int32)
+            for b in range(B):
+                base = 1 + self._slot_of[int(ids[b])] * wp
+                j_lo = max(0, (int(poss[b]) + 1 - W) // self.page_size)
+                j_hi = min(w, int(lens[b]) // self.page_size + 1)
+                for j in range(j_lo, j_hi):
+                    table_l[b, j] = base + (j % wp)
+            (nxt, lp, self.k_pool, self.v_pool, self.k_pool_loc,
+             self.v_pool_loc) = self._step(
+                self.params, self.k_pool, self.v_pool,
+                jnp.asarray(tokens), jnp.asarray(poss_p),
+                jnp.asarray(table_p), jnp.asarray(lens_p), sub,
+                jnp.asarray(temps), jnp.asarray(tops),
+                k_pool_loc=self.k_pool_loc, v_pool_loc=self.v_pool_loc,
+                table_loc=jnp.asarray(table_l))
+        else:
+            nxt, lp, self.k_pool, self.v_pool = self._step(
+                self.params, self.k_pool, self.v_pool,
+                jnp.asarray(tokens), jnp.asarray(poss_p),
+                jnp.asarray(table_p), jnp.asarray(lens_p), sub,
+                jnp.asarray(temps), jnp.asarray(tops))
         nxt = np.asarray(jax.device_get(nxt))
         lp = np.asarray(jax.device_get(lp))
         self.sched.commit_batch()
@@ -610,7 +767,7 @@ class ServingEngine:
         if req is None:
             raise KeyError(req_id)
         if not req.done:
-            self.sched.release(req_id)
+            self._release(req_id)
         return req.generated
 
     def stats(self) -> Dict[str, int]:

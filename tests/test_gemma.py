@@ -124,11 +124,65 @@ def test_gemma_serving_matches_single_seq():
     for impl in ("batched", "fused"):
         eng = ServingEngine(params, cfg, page_size=8, num_pages=64,
                             max_batch=4, step_impl=impl)
+        if impl == "batched":
+            # interleaved-window gemma auto-upgrades the batched step to
+            # the split-pool rolling-buffer mode
+            assert eng.step_impl == "batched_evenwin"
         for rid, p in prompts.items():
             eng.submit(rid, p, max_gen_len=4, temperature=0.0)
         out = eng.run()
         for rid, p in prompts.items():
             assert out[rid] == ref_greedy(p, 4), (impl, rid)
+
+
+def test_gemma_rolling_buffer_serving_capacity():
+    """Gemma-2 analog of test_rolling_buffer_serving_capacity: with the
+    split-pool rolling buffer, the windowed EVEN layers live in a fixed
+    O(window·batch) ring pool — sized for 3 window pages per slot here,
+    far too small to hold the full 40-token context that the generation
+    reaches — while odd layers keep full history in the (half-height)
+    scheduler pool.  Long generations must wrap the ring (ceil(40/8)=5
+    absolute pages > wp=3) and still match the single-sequence windowed
+    fused oracle, with two concurrent requests exercising distinct
+    slots."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+    import dataclasses
+    cfg = dataclasses.replace(GCFG, max_seq_len=64, sliding_window=12,
+                              n_layers=2)
+    params = _params(cfg, seed=14)
+    prompts = {0: list(range(1, 25)), 1: list(range(3, 20))}
+    n_gen = 16
+    eng = ServingEngine(params, cfg, page_size=8, num_pages=32, max_batch=2)
+    assert eng.step_impl == "batched_evenwin"
+    # the even-layer pool is O(window·batch): max_batch·(ceil(12/8)+1)+1
+    # pages and L/2 layers, independent of max_seq_len
+    assert eng.k_pool_loc.shape == (1, 2 * 3 + 1, cfg.kv_heads, 8,
+                                    cfg.head_dim_)
+    assert eng.k_pool.shape[0] == cfg.n_layers // 2
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=n_gen, temperature=0.0)
+    out = eng.run()
+    for rid in prompts:
+        assert eng.last_results[rid].error is None
+        assert len(out[rid]) == n_gen
+
+    # teacher-forced validation against the single-seq windowed oracle
+    # (tie-robust: every served token must be a near-argmax choice of the
+    # oracle given the same prefix)
+    for rid, prompt in prompts.items():
+        kc, vc = model.init_cache(cfg)
+        logits, kc, vc = model.prefill(params, kc, vc,
+                                       jnp.asarray(prompt, jnp.int32), cfg)
+        lg = logits[len(prompt) - 1]
+        pos = len(prompt)
+        for i, tok in enumerate(out[rid]):
+            gap = float(jnp.max(lg) - lg[tok])
+            scale = max(float(jnp.max(jnp.abs(lg))), 1.0)
+            assert gap < 0.02 * scale, (rid, i, tok, gap)
+            lg, kc, vc = model.decode_step(
+                params, kc, vc, jnp.asarray(tok, jnp.int32),
+                jnp.asarray(pos, jnp.int32), cfg, fused=True)
+            pos += 1
 
 
 def test_gemma2_hf_loader(tmp_path):
@@ -211,3 +265,71 @@ def test_gemma2_preset_geometry():
     assert cfg.head_dim_ == 256 and cfg.ffn_act == "gelu_tanh"
     from clusterfusion_tpu.ops.stack_kernel import _vocab_block
     assert _vocab_block(cfg.vocab_size) > 0   # 256000 fuses in-kernel
+
+
+def test_gemma2_query_pre_attn_scalar_fold(tmp_path):
+    """Gemma-2 scales attention logits by 1/sqrt(query_pre_attn_scalar)
+    (27B: 144 vs head_dim 128; 9B: 256 == hd).  The loader folds
+    sqrt(hd/scalar) into the q projection (RoPE commutes with scalars), so
+    every kernel's hardcoded 1/sqrt(hd) yields q·k/sqrt(scalar) —
+    advisor-r4 fix.  Checks: q columns scale by exactly sqrt(hd/scalar),
+    k/v columns and everything else untouched."""
+    from safetensors.numpy import save_file
+    from clusterfusion_tpu.models.checkpoint import load_hf_checkpoint
+
+    h, heads, kvh, hd, f, L, V = 256, 4, 2, 128, 512, 1, 512
+    rng = np.random.RandomState(7)
+    st = {"model.embed_tokens.weight":
+          rng.randn(V, h).astype(np.float32) * 0.02,
+          "model.norm.weight": rng.randn(h).astype(np.float32) * 0.1}
+    p = "model.layers.0."
+    st[p + "self_attn.q_proj.weight"] = \
+        rng.randn(heads * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.k_proj.weight"] = \
+        rng.randn(kvh * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.v_proj.weight"] = \
+        rng.randn(kvh * hd, h).astype(np.float32) * 0.05
+    st[p + "self_attn.o_proj.weight"] = \
+        rng.randn(h, heads * hd).astype(np.float32) * 0.05
+    st[p + "mlp.gate_proj.weight"] = rng.randn(f, h).astype(np.float32) * .05
+    st[p + "mlp.up_proj.weight"] = rng.randn(f, h).astype(np.float32) * .05
+    st[p + "mlp.down_proj.weight"] = rng.randn(h, f).astype(np.float32) * .05
+    for nm in ("input_layernorm", "post_attention_layernorm",
+               "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+        st[p + nm + ".weight"] = rng.randn(h).astype(np.float32) * 0.1
+    base = {"model_type": "gemma2", "hidden_size": h,
+            "num_attention_heads": heads, "num_key_value_heads": kvh,
+            "head_dim": hd, "intermediate_size": f, "num_hidden_layers": L,
+            "vocab_size": V, "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+            "sliding_window": 32, "attn_logit_softcapping": 50.0,
+            "final_logit_softcapping": 30.0, "tie_word_embeddings": True}
+
+    trees = {}
+    for name, qpas in [("eq", hd), ("gemma27b_like", hd // 4)]:
+        d = tmp_path / name
+        d.mkdir()
+        save_file(st, str(d / "model.safetensors"))
+        (d / "config.json").write_text(json.dumps(
+            {**base, "query_pre_attn_scalar": qpas}))
+        params, cfg = load_hf_checkpoint(str(d), max_seq_len=128,
+                                         dtype=jnp.float32)
+        trees[name] = params
+
+    w_eq = np.asarray(trees["eq"]["layers"]["wqkv_f"][0], np.float32)
+    w_27 = np.asarray(trees["gemma27b_like"]["layers"]["wqkv_f"][0],
+                      np.float32)
+    # fused layout: per KV head, columns [q_0..q_{g-1} | k | v]
+    g = heads // kvh
+    G, _, cols = w_eq.shape
+    hg = kvh // G
+    w_eq = w_eq.reshape(G, h, hg, (g + 2) * hd)
+    w_27 = w_27.reshape(G, h, hg, (g + 2) * hd)
+    factor = np.sqrt(hd / (hd // 4))                     # = 2.0
+    np.testing.assert_allclose(w_27[..., :g * hd],
+                               w_eq[..., :g * hd] * factor, rtol=1e-5)
+    np.testing.assert_allclose(w_27[..., g * hd:], w_eq[..., g * hd:],
+                               rtol=1e-6)
+    # only the q columns differ anywhere in the tree
+    np.testing.assert_allclose(
+        np.asarray(trees["eq"]["layers"]["wo_f"], np.float32),
+        np.asarray(trees["gemma27b_like"]["layers"]["wo_f"], np.float32))
