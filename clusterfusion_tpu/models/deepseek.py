@@ -31,9 +31,12 @@ import jax.numpy as jnp
 
 from clusterfusion_tpu.config import DeepSeekConfig, KernelConfig
 from clusterfusion_tpu.models.llama import _ffn
+from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.deepseek_layer import (
     deepseek_decoder_layer_fused, deepseek_decoder_stack_layer)
+from clusterfusion_tpu.ops.ffn import fused_ffn
 from clusterfusion_tpu.ops.moe import moe_ffn_decode, moe_ffn_dense
+from clusterfusion_tpu.ops.quant import maybe_dequantize
 from clusterfusion_tpu.ops.reference import rmsnorm_ref
 from clusterfusion_tpu.ops.rope import apply_rope_neox, rope_tables_neox
 
@@ -58,7 +61,14 @@ def init_params(cfg: DeepSeekConfig, key, dtype=jnp.bfloat16) -> DeepSeekParams:
     h, nope, rope = cfg.n_heads, cfg.nope_head_dim, cfg.rope_head_dim
     lora, hid, L, V = cfg.kv_lora_rank, cfg.hidden_dim, cfg.n_layers, \
         cfg.vocab_size
-    f = cfg.ffn_dim
+    # dense-FFN width padded to the fused-FFN kernel block (1024-multiple,
+    # same rule as llama's padded_ffn_dim): the decode path then runs
+    # rmsnorm+SwiGLU (and any int8/int4 dequant) in-kernel instead of
+    # materializing per-layer weight copies.  Random-init columns beyond
+    # cfg.ffn_dim are just extra random width — both the fused and eager
+    # paths see the same stored weights, so parity is unaffected.
+    from clusterfusion_tpu.config import round_up
+    f = round_up(cfg.ffn_dim, 1024)
     ks = jax.random.split(key, 10)
 
     def norm(k, shape, fan_in):
@@ -110,7 +120,7 @@ def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
         cfg.kv_lora_rank
     f32 = jnp.float32
     xn = rmsnorm_ref(x, p["attn_norm"], cfg.norm_eps).astype(f32)
-    proj = xn @ p["wproj"].astype(f32)                     # [1, n_proj]
+    proj = xn @ maybe_dequantize(p["wproj"], f32)          # [1, n_proj]
     qn_off, qp_off = 0, h * nope
     ckv_off = qp_off + h * rope
     kpe_off = ckv_off + lora
@@ -122,7 +132,8 @@ def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
     k_pe = apply_rope_neox(proj[0, kpe_off:], cos, sin)
     ckv_new = jnp.concatenate([ckv, k_pe])[None]           # [1, mla]
 
-    q_lora = jnp.einsum("hd,hdr->hr", q_nope, p["wuk"].astype(f32))
+    q_lora = jnp.einsum("hd,hdr->hr", q_nope,
+                        maybe_dequantize(p["wuk"], f32))
     q = jnp.concatenate([q_lora, q_pe], axis=-1)           # [h, mla]
     scale = jnp.float32(cfg.softmax_scale)
     cache_f = cache_l[:, :lora + rope].astype(f32)         # drop 128-pad
@@ -134,8 +145,8 @@ def _eager_mla(x, p, cache_l, pos, cos, sin, cfg: DeepSeekConfig):
     probs = jax.nn.softmax(full, axis=-1)
     o_lora = (probs[:, :-1] @ cache_f[:, :lora]
               + probs[:, -1:] * ckv_new[0, :lora])         # [h, lora]
-    o = jnp.einsum("hr,hrd->hd", o_lora, p["wuv"].astype(f32))
-    out = o.reshape(1, h * nope) @ p["wo_t"].astype(f32)
+    o = jnp.einsum("hr,hrd->hd", o_lora, maybe_dequantize(p["wuv"], f32))
+    out = o.reshape(1, h * nope) @ maybe_dequantize(p["wo_t"], f32)
     return out.astype(x.dtype), ckv_new.astype(x.dtype)
 
 
@@ -177,6 +188,19 @@ def _decode_step_impl(params: DeepSeekParams, cache, token, pos,
             attn, ckv_new = _eager_mla(x, p, cache_l, pos, cos, sin, cfg)
             cache = jax.lax.dynamic_update_slice(
                 cache, ckv_new[None].astype(cache.dtype), (l, pos, 0))
+        if fused and not cfg.n_experts and lw["w13"].shape[-1] % 128 == 0:
+            # dense FFN through the fused stacked kernel: rmsnorm + SwiGLU
+            # in one pallas call with the layer picked by a prefetched
+            # scalar — and, when the weights are quantized, int8/int4
+            # dequant IN-KERNEL (the eager path would materialize a bf16
+            # copy of every layer's FFN per token)
+            y, h2 = fused_ffn(attn.astype(x.dtype), x,
+                              lw["ffn_norm"][:, None],   # stacked [L,1,h]
+                              lw["w13"], lw["w2"], eps=cfg.norm_eps,
+                              kcfg=kcfg, fuse_residual=True, layer_id=l,
+                              interpret=interpret_mode())
+            x = (h2 + y).astype(x.dtype)
+            return (x, cache), None
         if p is None:
             p = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, l, 0,
@@ -220,7 +244,7 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
     def layer(carry, p):
         x = carry
         xn = rmsnorm_ref(x, p["attn_norm"], cfg.norm_eps).astype(f32)
-        proj = xn @ p["wproj"].astype(f32)                 # [T, n_proj]
+        proj = xn @ maybe_dequantize(p["wproj"], f32)      # [T, n_proj]
         qp_off = h * nope
         ckv_off = qp_off + h * rope
         kpe_off = ckv_off + lora
@@ -234,15 +258,18 @@ def prefill(params: DeepSeekParams, cache, tokens, cfg: DeepSeekConfig):
         k_pe = apply_rope_neox(proj[:, kpe_off:], cos, sin)
         rows = jnp.concatenate([ckv, k_pe], axis=-1)       # [T, mla]
 
-        q_lora = jnp.einsum("thd,hdr->thr", q_nope, p["wuk"].astype(f32))
+        q_lora = jnp.einsum("thd,hdr->thr", q_nope,
+                            maybe_dequantize(p["wuk"], f32))
         q = jnp.concatenate([q_lora, q_pe], axis=-1)       # [T, h, mla]
         scale = jnp.float32(cfg.softmax_scale)
         scores = jnp.einsum("thm,sm->hts", q, rows) * scale
         scores = jnp.where(mask[None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         o_lora = jnp.einsum("hts,sr->thr", probs, ckv)
-        o = jnp.einsum("thr,hrd->thd", o_lora, p["wuv"].astype(f32))
-        out = (o.reshape(T, h * nope) @ p["wo_t"].astype(f32)).astype(x.dtype)
+        o = jnp.einsum("thr,hrd->thd", o_lora,
+                       maybe_dequantize(p["wuv"], f32))
+        out = (o.reshape(T, h * nope)
+               @ maybe_dequantize(p["wo_t"], f32)).astype(x.dtype)
         x = x + out
         xn2 = rmsnorm_ref(x, p["ffn_norm"], cfg.norm_eps)
         y = _ffn(xn2, p["w13"], p["w2"])         # shared expert (dense)

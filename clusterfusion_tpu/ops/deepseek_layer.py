@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import cdiv, interpret_mode, round_up
-from clusterfusion_tpu.ops.decoder_layer import _rope_vec
+from clusterfusion_tpu.ops.decoder_layer import (_int4_dot, _kv_tile,
+    _rope_vec)
+from clusterfusion_tpu.ops.quant import QuantizedTensor
 
 _LOG2E = 1.4426950408889634
 _NEG_INF = -1e30
@@ -49,7 +51,8 @@ def _mla_kernel(
     s_ref,
     # inputs
     x_ref, rms_in_ref, rms_ckv_ref, cos_ref, sin_ref,
-    wproj_ref, wuk_ref, wuv_ref, wo_ref, cache_ref,
+    # then (from *refs): wproj[, wproj_s], wuk[, wuk_s], wuv[, wuv_s],
+    # wo[, wo_s], cache — scale operands exist only for quantized weights —
     # outputs (+ aliased cache out and RMW scratch when append=True)
     *refs,
     heads: int,
@@ -64,8 +67,23 @@ def _mla_kernel(
                         # tiling demands 128-aligned minor dims for the
                         # chunk blocks and the append RMW DMA (Mosaic
                         # rejects e.g. V2's 576); pad columns carry zeros
+    wq_kind: str = "none",   # "none" | "int8" | "int4": in-kernel dequant
+                             # of the 4 fused projections (the reference's
+                             # five GEMVs, `deepseek/kernel.cuh:128-288`)
+    gs_q: int = 0,
+    w4a8: bool = True,
 ):
     it = iter(refs)
+    quant = wq_kind != "none"
+    wproj_ref = next(it)
+    wproj_s_ref = next(it) if quant else None
+    wuk_ref = next(it)
+    wuk_s_ref = next(it) if quant else None
+    wuv_ref = next(it)
+    wuv_s_ref = next(it) if quant else None
+    wo_ref = next(it)
+    wo_s_ref = next(it) if quant else None
+    cache_ref = next(it)
     out_ref = next(it)
     ckv_new_ref = next(it)
     cache_out_ref = next(it) if append else None
@@ -80,6 +98,21 @@ def _mla_kernel(
     f32 = jnp.float32
     scale = softmax_scale * _LOG2E
 
+    def qdot(x_bf, w_ref, s_ref2, sl=None):
+        """Fused-dequant dot for one projection: x [1|M, K] bf16 against a
+        (possibly quantized) weight block; ``sl`` slices a per-head weight
+        out of a stacked [1, h, ...] block."""
+        wv = w_ref[...] if sl is None else w_ref[sl]
+        wv = wv.reshape(wv.shape[-2], wv.shape[-1])
+        if wq_kind == "none":
+            return jnp.dot(x_bf, wv, preferred_element_type=f32)
+        sv = s_ref2[...] if sl is None else s_ref2[sl]
+        sv = sv.reshape(sv.shape[-2], sv.shape[-1])
+        if wq_kind == "int8":
+            return jnp.dot(x_bf, wv.astype(jnp.bfloat16),
+                           preferred_element_type=f32) * sv
+        return _int4_dot(x_bf, wv, sv, gs_q, w4a8)
+
     # ---- step 0: norm + fused projections + rope + absorb -------------------
     @pl.when(c_id == 0)
     def _():
@@ -89,7 +122,7 @@ def _mla_kernel(
         xn = (x * jax.lax.rsqrt(var + eps)
               * rms_in.astype(f32)).astype(jnp.bfloat16)
         # one N-wide dot: [q_nope (h·nope) | q_pe (h·rope) | ckv (lora) | k_pe]
-        proj = jnp.dot(xn, wproj_ref[0], preferred_element_type=f32)
+        proj = qdot(xn, wproj_ref, wproj_s_ref)
         qn_off, qp_off = 0, heads * nope
         ckv_off = qp_off + heads * rope
         kpe_off = ckv_off + lora
@@ -112,8 +145,8 @@ def _mla_kernel(
         # per-head: absorb q_nope through W_UK; q rows = [q_lora | q_pe]
         for h in range(heads):
             qn = proj[:, qn_off + h * nope: qn_off + (h + 1) * nope]
-            ql = jnp.dot(qn.astype(jnp.bfloat16), wuk_ref[0, h],
-                         preferred_element_type=f32)         # [1, lora]
+            ql = qdot(qn.astype(jnp.bfloat16), wuk_ref, wuk_s_ref,
+                      sl=(0, h))                             # [1, lora]
             qp = _rope_vec(proj[:, qp_off + h * rope: qp_off + (h + 1) * rope],
                            cos_f, sin_f, "neox")
             q_s[h:h + 1, :lora] = ql * scale
@@ -135,11 +168,16 @@ def _mla_kernel(
         col_valid = (pos_base + col_iota) < seq
 
         q = q_s[...].astype(jnp.bfloat16)                    # [heads, mla_pad]
-        kc = cache_ref[0]                                    # [chunk, mla_pad]
+        # fp8 e4m3 compressed caches decode via the bit-twiddle re-bias
+        # (ops.quant.fp8_decode_scaled): the tile holds value·2^-56 and the
+        # fixup lands once on each dot result
+        kc, kfix = _kv_tile(cache_ref[0])                    # [chunk, mla_pad]
         # ckv doubles as V (first lora dims); zero padded rows
         vc = jnp.where(row_valid, kc[:, :lora], 0)
         scores = jax.lax.dot_general(                        # [heads, chunk]
             q, kc, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        if kfix != 1.0:
+            scores = scores * kfix
         scores = jnp.where(col_valid, scores, _NEG_INF)
 
         m_old = ml_s[0, :].reshape(heads, 1)
@@ -148,6 +186,8 @@ def _mla_kernel(
         alpha = jnp.exp2(m_old - m_new)
         p = jnp.exp2(scores - m_new) * col_valid.astype(f32)
         pv = jnp.dot(p.astype(jnp.bfloat16), vc, preferred_element_type=f32)
+        if kfix != 1.0:
+            pv = pv * kfix
         acc_s[...] = acc_s[...] * alpha + pv
         ml_s[0, :] = m_new[:, 0]
         ml_s[1, :] = (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
@@ -169,11 +209,11 @@ def _mla_kernel(
         # per-head W_UV expansion, then one N-wide O-projection
         rows = []
         for h in range(heads):
-            rows.append(jnp.dot(o[h:h + 1], wuv_ref[0, h],
-                                preferred_element_type=f32))  # [1, nope]
+            rows.append(qdot(o[h:h + 1], wuv_ref, wuv_s_ref,
+                             sl=(0, h)))                      # [1, nope]
         o_nope = jnp.concatenate(rows, axis=-1).astype(jnp.bfloat16)
-        out_ref[...] = jnp.dot(o_nope, wo_ref[0],
-                               preferred_element_type=f32).astype(out_ref.dtype)
+        out_ref[...] = qdot(o_nope, wo_ref,
+                            wo_s_ref).astype(out_ref.dtype)
         if append:
             # in-place compressed-row append via an aligned RMW DMA into
             # the aliased [L, cap, mla] cache (an XLA-level DUS next to
@@ -399,6 +439,26 @@ def deepseek_decoder_stack_layer(
     dt = input.dtype
     n_proj = wproj_s.shape[-1]
 
+    # quantized projections: int8 per-column / int4 grouped, dequantized
+    # in-kernel (the reference's five MLA GEMVs are fp16-only)
+    wq_kind, gs_q = "none", 0
+    if isinstance(wproj_s, QuantizedTensor):
+        assert all(isinstance(w, QuantizedTensor)
+                   and w.kind == wproj_s.kind
+                   for w in (wuk_s, wuv_s, wo_s))
+        wq_kind, gs_q = wproj_s.kind, wproj_s.group_size
+        sdt = jnp.bfloat16 if wq_kind == "int4" else jnp.float32
+        wq = {n: w.q for n, w in
+              (("proj", wproj_s), ("uk", wuk_s), ("uv", wuv_s),
+               ("o", wo_s))}
+        ws = {n: w.s.astype(sdt) for n, w in
+              (("proj", wproj_s), ("uk", wuk_s), ("uv", wuv_s),
+               ("o", wo_s))}
+    else:
+        wq = {"proj": wproj_s, "uk": wuk_s, "uv": wuv_s, "o": wo_s}
+        ws = {}
+    pack = 2 if wq_kind == "int4" else 1
+
     chunk = min(kcfg.chunk_for(cap), max(round_up(cap, 16), 16))
     n_chunks = max(cdiv(cap, chunk), 1)
     cos_f = jnp.concatenate([cos, cos])[None, :].astype(jnp.float32)
@@ -407,36 +467,55 @@ def deepseek_decoder_stack_layer(
     def lmap(*trail):
         return lambda c, s: (s[1],) + trail
 
+    def vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        vspec((1, hidden), lambda c, s: (0, 0)),
+        # [L, 1, d] with (1, 1, d) blocks: a 2-D [L, d] stack with (1, d)
+        # blocks is invalid Mosaic when L % 8 != 0 (the last two BLOCK
+        # dims must divide 8/128 or equal the array dims)
+        vspec((1, 1, hidden), lmap(0, 0)),
+        vspec((1, 1, lora), lmap(0, 0)),
+        vspec((1, rope), lambda c, s: (0, 0)),
+        vspec((1, rope), lambda c, s: (0, 0)),
+        vspec((1, hidden // pack, n_proj), lmap(0, 0)),
+    ]
+    inputs = [input, rms_in_s[:, None], rms_ckv_s[:, None], cos_f, sin_f,
+              wq["proj"]]
+
+    def add_scale(name):
+        if wq_kind != "none":
+            s = ws[name]
+            in_specs.append(vspec((1,) + s.shape[1:],
+                                  lmap(*([0] * (s.ndim - 1)))))
+            inputs.append(s)
+
+    add_scale("proj")
+    in_specs.append(vspec((1, h, nope // pack, lora), lmap(0, 0, 0)))
+    inputs.append(wq["uk"])
+    add_scale("uk")
+    in_specs.append(vspec((1, h, lora // pack, nope), lmap(0, 0, 0)))
+    inputs.append(wq["uv"])
+    add_scale("uv")
+    in_specs.append(vspec((1, h * nope // pack, hidden), lmap(0, 0)))
+    inputs.append(wq["o"])
+    add_scale("o")
+    in_specs.append(pl.BlockSpec(
+        (1, chunk, mla_pad),
+        lambda c, s: (s[1], jnp.minimum(
+            jnp.maximum(c - 1, 0),
+            jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
+        memory_space=pltpu.VMEM))
+    # alias operand index counts the scalar-prefetch arg (0), so the cache
+    # (appended last) sits at 1 + len(inputs)
+    cache_idx = 1 + len(inputs)
+    inputs.append(ckv_cache)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks + 1,),
-        in_specs=[
-            pl.BlockSpec((1, hidden), lambda c, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            # [L, 1, d] with (1, 1, d) blocks: a 2-D [L, d] stack with (1, d)
-            # blocks is invalid Mosaic when L % 8 != 0 (the last two BLOCK
-            # dims must divide 8/128 or equal the array dims)
-            pl.BlockSpec((1, 1, hidden), lmap(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lora), lmap(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rope), lambda c, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rope), lambda c, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden, n_proj), lmap(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, nope, lora), lmap(0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, lora, nope), lmap(0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h * nope, hidden), lmap(0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, chunk, mla_pad),
-                lambda c, s: (s[1], jnp.minimum(
-                    jnp.maximum(c - 1, 0),
-                    jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)), 0),
-                memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, hidden), lambda c, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -459,8 +538,9 @@ def deepseek_decoder_stack_layer(
     kernel = functools.partial(
         _mla_kernel, heads=h, nope=nope, rope=rope, lora=lora,
         kv_chunk=chunk, eps=eps, softmax_scale=softmax_scale, append=True,
-        mla_pad=mla_pad)
+        mla_pad=mla_pad, wq_kind=wq_kind, gs_q=gs_q, w4a8=kcfg.int4_w4a8)
 
+    wbytes = sum(wq[n].size * wq[n].dtype.itemsize // L for n in wq)
     seq_arr = jnp.stack([jnp.asarray(seq_len, jnp.int32).reshape(()),
                          jnp.asarray(layer_id, jnp.int32).reshape(())])
     out, ckv_new, cache = pl.pallas_call(
@@ -476,13 +556,10 @@ def deepseek_decoder_stack_layer(
         cost_estimate=pl.CostEstimate(
             flops=2 * hidden * n_proj + 2 * h * cap * mla * 2
             + 2 * h * nope * (lora + hidden),
-            bytes_accessed=(wproj_s.size // L + wo_s.size // L
-                            + cap * mla) * dt.itemsize,
+            bytes_accessed=wbytes
+            + cap * mla * ckv_cache.dtype.itemsize,
             transcendentals=h * cap),
-        # alias: operand index counts the scalar-prefetch arg (0) + 10
-        # tensor inputs; the cache is the last input -> index 10
-        input_output_aliases={10: 2},
+        input_output_aliases={cache_idx: 2},
         interpret=interpret_mode(),
-    )(seq_arr, input, rms_in_s[:, None], rms_ckv_s[:, None], cos_f, sin_f,
-      wproj_s, wuk_s, wuv_s, wo_s, ckv_cache)
+    )(seq_arr, *inputs)
     return out, cache

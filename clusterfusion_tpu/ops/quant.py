@@ -357,7 +357,28 @@ def quantize(w: jnp.ndarray, kind: str, axis: int, group_size: int = 128,
 # reduction axis (f) like everything else — the kernels' f-blocks cover
 # whole byte pairs and unpack via one bitcast.
 _WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
-                "w13": (-2, -2), "w2": (-2, -2)}
+                "w13": (-2, -2), "w2": (-2, -2),
+                # DeepSeek MLA stacks (models.deepseek layouts): reduction
+                # is the second-minor axis everywhere, same as llama
+                "wproj": (-2, -2),   # [L, hidden, n_proj]
+                "wuk": (-2, -2),     # [L, h, nope, lora]
+                "wuv": (-2, -2),     # [L, h, lora, nope]
+                "wo_t": (-2, -2)}    # [L, h*nope, hidden]
+
+
+def quantize_deepseek_params(params, kind: str = "int8",
+                             group_size: int = 128, lm_head: bool = False):
+    """Weight-only quantization of a DeepSeek MLA param tree: the four
+    attention projections (wproj/wuk/wuv/wo_t — the reference's five GEMVs,
+    `deepseek/kernel.cuh:128-288`, fused here as proj+absorb+expand+O) and
+    the dense/shared-expert FFN (w13/w2).  Routed-expert stacks (w13_e /
+    w2_e) stay bf16 — the decode-path expert gather already streams only
+    top-k experts, and per-expert group scales would need their own gather
+    plumbing for ~2 experts' worth of bytes.  norms / embed stay bf16."""
+    return quantize_llama_params(
+        params, kind, group_size,
+        targets=("wproj", "wuk", "wuv", "wo_t", "w13", "w2"),
+        lm_head=lm_head)
 
 
 def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,

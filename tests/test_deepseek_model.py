@@ -73,3 +73,70 @@ def test_generate_greedy_runs(setup):
     # determinism (replaces the reference's 10k-repetition race sweep)
     out2 = model.generate_greedy(params, CFG, [1, 2, 3], n_gen=5)
     assert out == out2
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_quantized_fused_decode_matches_eager(quant):
+    """Weight-only quantized MLA (round-5): the four fused projections
+    (wproj/wuk/wuv/wo_t — the reference's five GEMVs,
+    `deepseek/kernel.cuh:128-288`) and the dense FFN dequantize IN-KERNEL;
+    the eager oracle dequantizes the same QuantizedTensors at the XLA
+    level, so fused-vs-eager parity proves the in-kernel dequant wiring."""
+    from clusterfusion_tpu.ops.quant import (QuantizedTensor,
+                                             quantize_deepseek_params)
+    params = model.init_params(CFG, jax.random.PRNGKey(2))
+    qparams = quantize_deepseek_params(params, quant)
+    for nm in ("wproj", "wuk", "wuv", "wo_t", "w13", "w2"):
+        assert isinstance(qparams["layers"][nm], QuantizedTensor), nm
+    cache = model.init_cache(CFG)
+    toks = jnp.asarray([5, 17, 42, 9, 23], jnp.int32)
+    logits, cache = model.prefill(qparams, cache, toks, CFG)
+    tok = jnp.asarray(7, jnp.int32)
+    pos = jnp.asarray(5, jnp.int32)
+    lf, cf = model.decode_step(qparams, cache, tok, pos, CFG, fused=True)
+    le, ce = model.decode_step(qparams, cache, tok, pos, CFG, fused=False)
+    scale = max(float(jnp.max(jnp.abs(le))), 1.0)
+    assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale, quant
+    # appended row: fused dequantizes bf16-in-kernel, eager in f32 — allow
+    # a couple of bf16 ulps of cross-path rounding on O(1) values
+    np.testing.assert_allclose(np.asarray(cf[:, 5], np.float32),
+                               np.asarray(ce[:, 5], np.float32), atol=0.08)
+    # and the quantized logits must still track the bf16 model's — a
+    # sanity bound on genuine quantization error through 2 random-init
+    # layers + LM head (int4 carries ~4x the int8 error)
+    lb, _ = model.decode_step(params, cache, tok, pos, CFG, fused=True)
+    tol = 0.25 if quant == "int8" else 0.45
+    assert float(jnp.max(jnp.abs(lf - lb))) < tol * scale, quant
+
+
+@pytest.mark.parametrize("quant", [None, "int4"])
+def test_fp8_ckv_cache_fused_decode(quant):
+    """8-bit compressed-ckv cache (fp8 e4m3, in-kernel bit-twiddle decode):
+    fused decode over an fp8 cache must match the eager oracle over the
+    SAME fp8 cache (both read identical stored rows), and track the bf16-
+    cache logits within fp8 rounding."""
+    params = model.init_params(CFG, jax.random.PRNGKey(4))
+    if quant:
+        from clusterfusion_tpu.ops.quant import quantize_deepseek_params
+        params = quantize_deepseek_params(params, quant)
+    toks = jnp.asarray([3, 11, 29, 6, 14, 2], jnp.int32)
+    tok = jnp.asarray(8, jnp.int32)
+    pos = jnp.asarray(6, jnp.int32)
+
+    cache8 = model.init_cache(CFG, dtype=jnp.float8_e4m3fn)
+    _, cache8 = model.prefill(params, cache8, toks, CFG)
+    lf, c8f = model.decode_step(params, cache8, tok, pos, CFG, fused=True)
+    le, c8e = model.decode_step(params, cache8, tok, pos, CFG, fused=False)
+    scale = max(float(jnp.max(jnp.abs(le))), 1.0)
+    assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale
+    assert c8f.dtype == jnp.float8_e4m3fn
+    # e4m3 rows: one fp8 ulp is 2^-3 RELATIVE (0.25 absolute at value 2.0)
+    # and the two paths round to fp8 from differently-rounded inputs
+    np.testing.assert_allclose(np.asarray(c8f[:, 6], np.float32),
+                               np.asarray(c8e[:, 6], np.float32),
+                               atol=0.05, rtol=0.15)
+
+    cacheb = model.init_cache(CFG)
+    _, cacheb = model.prefill(params, cacheb, toks, CFG)
+    lb, _ = model.decode_step(params, cacheb, tok, pos, CFG, fused=True)
+    assert float(jnp.max(jnp.abs(lf - lb))) < 0.2 * scale
