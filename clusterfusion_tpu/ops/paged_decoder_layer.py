@@ -90,15 +90,24 @@ def _paged_kernel(
     out_ref, res_out_ref, knew_ref, vnew_ref = (next(it) for _ in range(4))
     if append:
         kp_out_ref, vp_out_ref = next(it), next(it)
-    xnorm_s, q_s, acc_s, out_s, ml_s, kv_s = (next(it) for _ in range(6))
+    xnorm_s, qkv_s, q_s, acc_s, o_all_s, out_s, ml_s, kv_s = \
+        (next(it) for _ in range(8))
     if gather:
         kwin_s, vwin_s, win_sem = (next(it) for _ in range(3))
     if append:
         krow_s, vrow_s, row_sem = (next(it) for _ in range(3))
-    b_id = pl.program_id(0)
-    g_id = pl.program_id(1)
+    # grid (G, B, C): the head-group axis is OUTERMOST so each weight block
+    # streams from HBM exactly once per kernel call and stays VMEM-resident
+    # while every request's page walk runs under it — the round-4 grid
+    # (B, G, C) re-fetched the weights per request, which is why the fused
+    # step lost ~2.8x to the batched-matmul step at B=8 (weights dominate
+    # the decode byte stream).  The projections are likewise batched M=B
+    # dots; only the page walk (grid dim 1) stays per-request.
+    g_id = pl.program_id(0)
+    b_id = pl.program_id(1)
     c_id = pl.program_id(2)
     n_steps = pl.num_programs(2) - 1
+    B = pl.num_programs(1)
     seq = lens_ref[b_id]
     hd = head_dim
     rows = hg * group
@@ -126,20 +135,39 @@ def _paged_kernel(
                 win_sem.at[buf, 1, i]))
         return out
 
-    # ---- per request: residual add + RMSNorm --------------------------------
-    @pl.when(jnp.logical_and(g_id == 0, c_id == 0))
+    # ---- once per group (b==0, c==0): batched norm + M=B QKV projection -----
+    @pl.when(jnp.logical_and(b_id == 0, c_id == 0))
     def _():
-        x = x_ref[0].astype(f32) + res_ref[0].astype(f32)
-        res_out_ref[0] = x.astype(res_out_ref.dtype)
-        var = jnp.mean(x * x, axis=-1, keepdims=True)
-        xnorm_s[...] = x * jax.lax.rsqrt(var + eps) * rmsw_ref[...].astype(f32)
-        out_s[...] = jnp.zeros_like(out_s)
+        @pl.when(g_id == 0)
+        def _():
+            # once per kernel call: batched residual add + RMSNorm for the
+            # whole batch, and zero the batched O-projection accumulator
+            x = x_ref[...].astype(f32) + res_ref[...].astype(f32)  # [B, h]
+            res_out_ref[...] = x.astype(res_out_ref.dtype)
+            var = jnp.mean(x * x, axis=-1, keepdims=True)
+            xnorm_s[...] = x * jax.lax.rsqrt(var + eps) \
+                * rmsw_ref[...].astype(f32)
+            out_s[...] = jnp.zeros_like(out_s)
+        # one M=B MXU dot against this group's VMEM-resident weight block
+        xn = xnorm_s[...].astype(jnp.bfloat16)                     # [B, h]
+        if wq_kind == "none":
+            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
+        elif wq_kind == "int8":
+            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
+                          preferred_element_type=f32) * _m2(wqkv_s_ref)
+        else:
+            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
+            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
+        if with_bias:
+            # Qwen2-family QKV bias, added pre-rope (part of the linear)
+            qkv = qkv + _m2(bqkv_ref).astype(f32)
+        qkv_s[...] = qkv                                   # [B, qkv_cols]
 
-    # ---- per (request, head group): QKV + RoPE + new-KV ---------------------
+    # ---- per (group, request): RoPE + new-KV off the batched projection ----
     @pl.when(c_id == 0)
     def _():
-        # kick off window 0's page gather before the projection dot so the
-        # first KV chunk flies while the MXU works
+        # kick off window 0's page gather before the rope work so the
+        # first KV chunk flies while the VPU works
         if gather:
             @pl.when(seq > 0)
             def _():
@@ -156,18 +184,7 @@ def _paged_kernel(
                 else:
                     for cp in window_copies(0, 0):
                         cp.start()
-        xn = xnorm_s[...].astype(jnp.bfloat16)
-        if wq_kind == "none":
-            qkv = jnp.dot(xn, _m2(wqkv_ref), preferred_element_type=f32)
-        elif wq_kind == "int8":
-            qkv = jnp.dot(xn, _m2(wqkv_ref).astype(jnp.bfloat16),
-                          preferred_element_type=f32) * _m2(wqkv_s_ref)
-        else:
-            wb = _dequant_int4_tile(_m2(wqkv_ref), _m2(wqkv_s_ref), gs_q)
-            qkv = jnp.dot(xn, wb, preferred_element_type=f32)
-        if with_bias:
-            # Qwen2-family QKV bias, added pre-rope (part of the linear)
-            qkv = qkv + _m2(bqkv_ref).astype(f32)
+        qkv = qkv_s[pl.ds(b_id, 1), :]                     # [1, qkv_cols]
         cos_f = cos_ref[0].astype(f32)
         sin_f = sin_ref[0].astype(f32)
         scale = (1.0 / math.sqrt(hd)) * _LOG2E
@@ -315,21 +332,32 @@ def _paged_kernel(
         p_cur = jnp.exp2(s_cur - m_f)
         acc = acc_s[...] * alpha + p_cur * v_rows
         l_f = l_old * alpha + p_cur
+        # bf16-round first (numerics identical to the old per-request dot),
+        # then widen to the f32 scratch dtype — exact for bf16 values
         o = (acc / l_f).astype(jnp.bfloat16)
-        o_flat = o.reshape(1, rows * hd)
-        if wq_kind == "none":
-            out_s[...] += jnp.dot(o_flat, _m2(wo_ref),
-                                  preferred_element_type=f32)
-        elif wq_kind == "int8":
-            out_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
-                                  preferred_element_type=f32) * _m2(wo_s_ref)
-        else:
-            wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
-            out_s[...] += jnp.dot(o_flat, wb, preferred_element_type=f32)
+        o_all_s[pl.ds(b_id, 1), :] = \
+            o.reshape(1, rows * hd).astype(jnp.float32)
 
-        @pl.when(g_id == pl.num_programs(1) - 1)
+        # last request of this group: ONE M=B O-projection against the
+        # resident weight block, accumulated across groups
+        @pl.when(b_id == B - 1)
         def _():
-            out_ref[0] = out_s[...].astype(out_ref.dtype)
+            o_all = o_all_s[...].astype(jnp.bfloat16)      # [B, rows*hd]
+            if wq_kind == "none":
+                out_s[...] += jnp.dot(o_all, _m2(wo_ref),
+                                      preferred_element_type=f32)
+            elif wq_kind == "int8":
+                out_s[...] += jnp.dot(o_all,
+                                      _m2(wo_ref).astype(jnp.bfloat16),
+                                      preferred_element_type=f32) \
+                    * _m2(wo_s_ref)
+            else:
+                wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+                out_s[...] += jnp.dot(o_all, wb, preferred_element_type=f32)
+
+            @pl.when(g_id == pl.num_programs(0) - 1)
+            def _():
+                out_ref[...] = out_s[...].astype(out_ref.dtype)
 
 
 def llama_decoder_layer_paged(
@@ -414,30 +442,33 @@ def llama_decoder_layer_paged(
     poss = positions.astype(jnp.int32)
     table = block_table.astype(jnp.int32)
 
-    def rope_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
+    def rope_index_map(g, b, c, meta_s, lens_s, pos_s, table_s):
         return (pos_s[b], 0, 0)
 
     def wspec(rows, cols):
-        """Weight BlockSpec: [L, G, rows, cols] stacked or [G, rows, cols]."""
+        """Weight BlockSpec: [L, G, rows, cols] stacked or [G, rows, cols].
+        Index constant in (b, c) — with the group axis outermost the block
+        streams from HBM once per kernel call."""
         if stacked:
             return pl.BlockSpec((1, 1, rows, cols),
-                                lambda b, g, c, *s: (s[0][0], g, 0, 0),
+                                lambda g, b, c, *s: (s[0][0], g, 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, rows, cols), lambda b, g, c, *s: (g, 0, 0),
+        return pl.BlockSpec((1, rows, cols), lambda g, b, c, *s: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+        # whole-batch activations: one resident [B, hidden] block
+        pl.BlockSpec((B, hidden), lambda g, b, c, *s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+        pl.BlockSpec((B, hidden), lambda g, b, c, *s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hidden), lambda b, g, c, *s: (0, 0),
+        pl.BlockSpec((1, hidden), lambda g, b, c, *s: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd), rope_index_map, memory_space=pltpu.VMEM),
         wspec(hidden // pack, qkv_cols),
     ]
-    inputs = [input[:, None, :], residual[:, None, :], rms_w,
+    inputs = [input, residual, rms_w,
               cos_t[:, None, :], sin_t[:, None, :], wqkv_g]
     if wq_kind != "none":
         in_specs.append(wspec(wqkv_s.shape[-2], qkv_cols))
@@ -446,11 +477,11 @@ def llama_decoder_layer_paged(
         # [L, G, cols] stacked / [G, cols] single-layer (Qwen2 QKV bias)
         if stacked:
             in_specs.append(pl.BlockSpec(
-                (1, 1, qkv_cols), lambda b, g, c, *s: (s[0][0], g, 0),
+                (1, 1, qkv_cols), lambda g, b, c, *s: (s[0][0], g, 0),
                 memory_space=pltpu.VMEM))
         else:
             in_specs.append(pl.BlockSpec(
-                (1, qkv_cols), lambda b, g, c, *s: (g, 0),
+                (1, qkv_cols), lambda g, b, c, *s: (g, 0),
                 memory_space=pltpu.VMEM))
         inputs.append(bias_qkv)
     in_specs.append(wspec(wo_rows // pack, hidden))
@@ -458,7 +489,7 @@ def llama_decoder_layer_paged(
     if wq_kind != "none":
         in_specs.append(wspec(wo_s.shape[-2], hidden))
         inputs.append(wo_s)
-    def kv_index_map(b, g, c, meta_s, lens_s, pos_s, table_s):
+    def kv_index_map(g, b, c, meta_s, lens_s, pos_s, table_s):
         last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
         j = jnp.minimum(jnp.maximum(c - 1, 0), last)
         if window:
@@ -484,18 +515,18 @@ def llama_decoder_layer_paged(
     inputs += [k_pool, v_pool]
 
     out_specs = [
-        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+        pl.BlockSpec((B, hidden), lambda g, b, c, *s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hidden), lambda b, g, c, *s: (b, 0, 0),
+        pl.BlockSpec((B, hidden), lambda g, b, c, *s: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
+        pl.BlockSpec((1, 1, hg, hd), lambda g, b, c, *s: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hg, hd), lambda b, g, c, *s: (b, g, 0, 0),
+        pl.BlockSpec((1, 1, hg, hd), lambda g, b, c, *s: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, 1, hidden), dt),
-        jax.ShapeDtypeStruct((B, 1, hidden), dt),
+        jax.ShapeDtypeStruct((B, hidden), dt),
+        jax.ShapeDtypeStruct((B, hidden), dt),
         jax.ShapeDtypeStruct((B, G, hg, hd), dt),
         jax.ShapeDtypeStruct((B, G, hg, hd), dt),
     ]
@@ -510,14 +541,16 @@ def llama_decoder_layer_paged(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, G, n_steps + 1),
+        grid=(G, B, n_steps + 1),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((1, hidden), jnp.float32),
-            pltpu.VMEM((hg * group, hd), jnp.float32),
-            pltpu.VMEM((hg * group, hd), jnp.float32),
-            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((B, hidden), jnp.float32),        # batched x-norm
+            pltpu.VMEM((B, qkv_cols), jnp.float32),      # batched QKV proj
+            pltpu.VMEM((hg * group, hd), jnp.float32),   # q (rope'd, scaled)
+            pltpu.VMEM((hg * group, hd), jnp.float32),   # softmax acc
+            pltpu.VMEM((B, wo_rows), jnp.float32),       # per-req attn out
+            pltpu.VMEM((B, hidden), jnp.float32),        # batched O-proj acc
             pltpu.VMEM((2, hg * group), jnp.float32),
             pltpu.VMEM((2 * hg, hd), jnp.float32),
         ] + ([
