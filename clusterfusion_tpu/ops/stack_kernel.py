@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from clusterfusion_tpu.config import KernelConfig
 from clusterfusion_tpu.ops._support import glu_act, cdiv, interpret_mode, round_up
 from clusterfusion_tpu.ops.decoder_layer import (
-    _int4_dot, _kv_tile, _m2, _rope_vec)
+    _dequant_int4_tile, _int4_dot, _kv_tile, _m2, _oproj_dot, _rope_vec)
 from clusterfusion_tpu.ops.ffn import _r3, ffn_block_size
 from clusterfusion_tpu.ops.quant import Int8KV, QuantizedTensor
 
@@ -71,6 +71,12 @@ def _stack_kernel(
                                   # gemma-2 interleaved local/global —
                                   # window applies to even layers only
     sandwich: bool = False,       # gemma-2 post-attn / post-FFN RMSNorms
+    defer_append: bool = False,   # hd < 128: the in-kernel RMW append DMA
+                                  # cannot slice a sub-128-lane cache minor
+                                  # dim (Mosaic (8,128) tiling) — emit the
+                                  # new K/V rows as outputs instead and let
+                                  # the caller do ONE whole-stack XLA
+                                  # dynamic-update (in-place under donation)
 ):
     with_lm = nv > 0
     kv8 = kv_kind == "int8"
@@ -93,12 +99,20 @@ def _stack_kernel(
     ks_ref, vs_ref = (next(it), next(it)) if kv8 else (None, None)
     hx_out_ref, res_out_ref = next(it), next(it)
     logits_ref = next(it) if with_lm else None
-    kc_out_ref, vc_out_ref = next(it), next(it)
-    ksc_out_ref, vsc_out_ref = (next(it), next(it)) if kv8 else (None, None)
-    (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
-     krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
-    if kv8:
-        ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
+    if defer_append:
+        knew_ref, vnew_ref = next(it), next(it)
+        kc_out_ref = vc_out_ref = ksc_out_ref = vsc_out_ref = None
+        (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s) = \
+            (next(it) for _ in range(9))
+        krow_s = vrow_s = row_sem = None
+    else:
+        kc_out_ref, vc_out_ref = next(it), next(it)
+        ksc_out_ref, vsc_out_ref = (next(it), next(it)) if kv8 \
+            else (None, None)
+        (xnorm_s, q_s, acc_s, aout_s, ml_s, kv_s, hx_s, res_s, ffn_s,
+         krow_s, vrow_s, row_sem) = (next(it) for _ in range(12))
+        if kv8:
+            ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
     if reduce_axis is not None:
         rrecv_s, rsend_sem, rrecv_sem, rack_sem = (next(it) for _ in range(4))
 
@@ -124,13 +138,16 @@ def _stack_kernel(
     # that long-landed read, modifies, and STARTS the write, and the writes
     # drain at this layer's exit step — no append DMA is ever waited while
     # it is still in flight.
-    cap_ = kc_out_ref.shape[2]
-    row = jnp.minimum(seq, cap_ - 1)
-    row8 = (row // 8) * 8
-    off = row - row8
-    srow8 = (row // 1024) * 8 if kv8 else 0
+    if not defer_append:
+        cap_ = kc_out_ref.shape[2]
+        row = jnp.minimum(seq, cap_ - 1)
+        row8 = (row // 8) * 8
+        off = row - row8
+        srow8 = (row // 1024) * 8 if kv8 else 0
 
     def _append_copies(lx, g, write: bool):
+        if defer_append:
+            return []
         """(start|wait)-able RMW copies for group g of layer lx."""
         hsl = pl.ds(g * hg, hg)
         ksl = kc_out_ref.at[lx, hsl, pl.ds(row8, 8)]
@@ -202,6 +219,16 @@ def _stack_kernel(
                 q_s[h * group + i: h * group + i + 1, :] = qi * scale
         # append: wait the long-prefetched RMW window read, modify, start
         # the write (drained at this layer's exit step — never blocks here)
+        if defer_append:
+            # no in-kernel append at hd < 128 — emit this layer/group's new
+            # rows as (l, g)-blocked outputs; the caller's whole-stack XLA
+            # dynamic-update lands them (one update per token, in place)
+            knew_ref[0, 0] = kv_s[:hg, :].astype(knew_ref.dtype)
+            vnew_ref[0, 0] = kv_s[hg:, :].astype(vnew_ref.dtype)
+            acc_s[...] = jnp.zeros_like(acc_s)
+            ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
+            ml_s[1, :] = jnp.zeros((rows,), f32)
+            return
         for cp in _append_copies(l, g_id, write=False):
             cp.wait()
         if kv8:
@@ -228,13 +255,18 @@ def _stack_kernel(
         else:
             k_new = kv_s[:hg, :]
             v_new = kv_s[hg:, :]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (hg, 8, hd), 1)
-        krow_s[g_id] = jnp.where(sub == off,
-                                 k_new.astype(krow_s.dtype)[:, None, :],
-                                 krow_s[g_id])
-        vrow_s[g_id] = jnp.where(sub == off,
-                                 v_new.astype(vrow_s.dtype)[:, None, :],
-                                 vrow_s[g_id])
+        # per-head 2D selects: the 3D form (k_new[:, None, :] against an
+        # [hg, 8, hd] iota) needs a rank-expanding vector reshape that
+        # Mosaic rejects for sub-128-lane head dims (hd=64:
+        # vector<Nx64> -> vector<Nx1x64> "unsupported shape cast")
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0)
+        for h in range(hg):
+            krow_s[g_id, h] = jnp.where(
+                sub2 == off, k_new[h:h + 1].astype(krow_s.dtype),
+                krow_s[g_id, h])
+            vrow_s[g_id, h] = jnp.where(
+                sub2 == off, v_new[h:h + 1].astype(vrow_s.dtype),
+                vrow_s[g_id, h])
         for cp in _append_copies(l, g_id, write=True):
             cp.start()
         acc_s[...] = jnp.zeros_like(acc_s)
@@ -331,16 +363,32 @@ def _stack_kernel(
         acc = acc_s[...] * alpha + p_cur * v_rows
         l_f = l_old * alpha + p_cur
         o = (acc / l_f).astype(jnp.bfloat16)
-        o_flat = o.reshape(1, rows * hd)
-        if wq_kind == "none":
-            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref),
-                                   preferred_element_type=f32)
-        elif wq_kind == "int8":
-            aout_s[...] += jnp.dot(o_flat, _m2(wo_ref).astype(jnp.bfloat16),
-                                   preferred_element_type=f32) * _m2(wo_s_ref)
+        if hd % 128 == 0:
+            o_flat = o.reshape(1, rows * hd)
+            if wq_kind == "none":
+                aout_s[...] += jnp.dot(o_flat, _m2(wo_ref),
+                                       preferred_element_type=f32)
+            elif wq_kind == "int8":
+                aout_s[...] += jnp.dot(o_flat,
+                                       _m2(wo_ref).astype(jnp.bfloat16),
+                                       preferred_element_type=f32) \
+                    * _m2(wo_s_ref)
+            else:
+                aout_s[...] += _int4_dot(o_flat, _m2(wo_ref), _m2(wo_s_ref),
+                                         gs_q, w4a8)
         else:
-            aout_s[...] += _int4_dot(o_flat, _m2(wo_ref), _m2(wo_s_ref),
-                                     gs_q, w4a8)
+            # hd=64: per-row contraction (see _oproj_dot); int4 takes the
+            # exact tile dequant (w4a8's grouped reshape needs the flat x)
+            if wq_kind == "none":
+                w = _m2(wo_ref)
+            elif wq_kind == "int8":
+                w = _m2(wo_ref).astype(jnp.bfloat16)
+            else:
+                w = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+            part = _oproj_dot(o, w, hd)
+            if wq_kind == "int8":
+                part = part * _m2(wo_s_ref)
+            aout_s[...] += part
 
     # ---- FFN phases ------------------------------------------------------------
     in_ffn = jnp.logical_and(t >= TA, t < T)
@@ -536,6 +584,10 @@ def fused_decoder_stack(
     hidden = x.shape[-1]
     hd = head_dim
     dt = x.dtype
+    # hd < 128 (TinyLlama / Qwen2-0.5B): the in-kernel RMW append cannot
+    # DMA-slice the sub-128-lane cache minor dim (Mosaic (8,128) tiling)
+    # — defer the append to one whole-stack XLA update after the kernel
+    defer = hd % 128 != 0
     kv8 = isinstance(k_cache, Int8KV)
     if kv8:
         k_arr, ks_arr = k_cache.q, k_cache.s
@@ -737,15 +789,22 @@ def fused_decoder_stack(
         out_specs.append(pl.BlockSpec((1, bv),
                                       lambda ta, s: (0, jv_of(ta)),
                                       memory_space=pltpu.VMEM))
-    out_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    if kv8:
+    if defer:
+        # new K/V rows as (layer, group)-blocked outputs (no cache alias)
+        newkv_spec = pl.BlockSpec(
+            (1, 1, hg, hd), lambda ta, s: (l_of(ta), g_of(ta), 0, 0),
+            memory_space=pltpu.VMEM)
+        out_specs += [newkv_spec, newkv_spec]
+    else:
         out_specs += [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
+        if kv8:
+            out_specs += [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -762,14 +821,15 @@ def fused_decoder_stack(
             pltpu.VMEM((1, hidden), jnp.float32),        # hx carry
             pltpu.VMEM((1, hidden), jnp.float32),        # residual carry
             pltpu.VMEM((1, hidden), jnp.float32),        # ffn acc
+        ] + ([] if defer else [
             pltpu.VMEM((G, hg, 8, hd), k_arr.dtype),     # K append RMW (per g)
             pltpu.VMEM((G, hg, 8, hd), v_arr.dtype),     # V append RMW
             pltpu.SemaphoreType.DMA((2, G)),
-        ] + ([
+        ]) + ([
             pltpu.VMEM((G, hg, 8, 128), jnp.float32),    # K-scale RMW
             pltpu.VMEM((G, hg, 8, 128), jnp.float32),    # V-scale RMW
             pltpu.SemaphoreType.DMA((2, G)),
-        ] if kv8 else []) + ([
+        ] if kv8 and not defer else []) + ([
             pltpu.VMEM((2, 1, hidden), jnp.float32),     # ring ping-pong
             pltpu.SemaphoreType.DMA(()),                 # ring send
             pltpu.SemaphoreType.DMA(()),                 # ring recv
@@ -785,7 +845,8 @@ def fused_decoder_stack(
         reduce_axis=reduce_axis, lm_kind=lm_kind, window=window,
         with_bias=bias_qkv is not None, ffn_act=ffn_act,
         softcap=softcap * _LOG2E if softcap else 0.0,
-        window_pattern=window_pattern, sandwich=sandwich)
+        window_pattern=window_pattern, sandwich=sandwich,
+        defer_append=defer)
 
     wbytes = sum(w.size * w.dtype.itemsize
                  for w in (wqkv_q, wo_q, w13_q, w2_q))
@@ -803,19 +864,26 @@ def fused_decoder_stack(
     ]
     if with_lm:
         out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
-    out_shape += [
-        jax.ShapeDtypeStruct(k_arr.shape, k_arr.dtype),
-        jax.ShapeDtypeStruct(v_arr.shape, v_arr.dtype),
-    ]
     n_pre = 3 if with_lm else 2
-    aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
-    if kv8:
+    if defer:
         out_shape += [
-            jax.ShapeDtypeStruct(ks_arr.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vs_arr.shape, jnp.float32),
+            jax.ShapeDtypeStruct((L_, G, hg, hd), dt),
+            jax.ShapeDtypeStruct((L_, G, hg, hd), dt),
         ]
-        aliases[k_alias_idx + 2] = n_pre + 2
-        aliases[k_alias_idx + 3] = n_pre + 3
+        aliases = {}
+    else:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_arr.shape, k_arr.dtype),
+            jax.ShapeDtypeStruct(v_arr.shape, v_arr.dtype),
+        ]
+        aliases = {k_alias_idx: n_pre, k_alias_idx + 1: n_pre + 1}
+        if kv8:
+            out_shape += [
+                jax.ShapeDtypeStruct(ks_arr.shape, jnp.float32),
+                jax.ShapeDtypeStruct(vs_arr.shape, jnp.float32),
+            ]
+            aliases[k_alias_idx + 2] = n_pre + 2
+            aliases[k_alias_idx + 3] = n_pre + 3
 
     seq_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     results = pl.pallas_call(
@@ -831,7 +899,31 @@ def fused_decoder_stack(
         input_output_aliases=aliases,
         interpret=interpret,
     )(seq_arr, *inputs)
-    if kv8:
+    if defer:
+        # whole-stack XLA append of the new rows (position `pos`) — ONE
+        # dynamic-update per token on the (donated) caches; the in-scan
+        # carry keeps it in place.  Mirrors models.llama._cache_fill.
+        *head, k_new, v_new = results
+        rows_k = k_new.reshape(L_, kv_heads, 1, hd)
+        rows_v = v_new.reshape(L_, kv_heads, 1, hd)
+
+        def fill(cache, rows_):
+            if isinstance(cache, Int8KV):
+                from clusterfusion_tpu.ops.quant import quantize_kv_rows
+                q8, s = quantize_kv_rows(rows_)
+                qc = jax.lax.dynamic_update_slice(cache.q, q8,
+                                                  (0, 0, pos, 0))
+                Lq, H, R, _ = cache.s.shape
+                sflat = jax.lax.dynamic_update_slice(
+                    cache.s.reshape(Lq, H, R * 128),
+                    s.astype(cache.s.dtype), (0, 0, pos))
+                return Int8KV(qc, sflat.reshape(Lq, H, R, 128))
+            return jax.lax.dynamic_update_slice(
+                cache, rows_.astype(cache.dtype), (0, 0, pos, 0))
+
+        kc = fill(k_cache, rows_k)
+        vc = fill(v_cache, rows_v)
+    elif kv8:
         *head, kc, vc, ks, vs = results
         kc, vc = Int8KV(kc, ks), Int8KV(vc, vs)
     else:
