@@ -22,12 +22,13 @@ TPU twin of `LlamaDecoderLayerBatchDecodeWithPagedKVCacheKernel`
   (``llama_decoder_layer_batch_decode_sglang``) keeps the sglang
   indptr/indices, page-size-1 calling convention (`:341`) and converts.
 
-Grid: (batch, head_groups, 1 + max_pages).  Step (b, g, 0) projects QKV for
-request b / head group g (N-wide MXU dot); steps 1.. walk that request's
-pages with the online-softmax state in scratch; the final step folds the
-current token and accumulates the O-projection partial.  Per-request page
-counts are dynamic: index maps clamp to the last needed page (no DMA for
-skipped steps) and masked compute skips them.
+Grid: (head_groups, batch, page_windows) — group outermost so each weight
+block streams from HBM once per call.  Step (g, 0, 0) runs the batched
+M=B QKV projection; step (g, b, c) walks request b's page window c with
+the online-softmax state in scratch; the last walk step folds the current
+token, and (g, B-1, last) runs the batched M=B O-projection.  Per-request
+page counts are dynamic: index maps clamp to the last needed page (no DMA
+for skipped steps) and masked compute skips them.
 """
 
 from __future__ import annotations
@@ -103,10 +104,16 @@ def _paged_kernel(
     # step lost ~2.8x to the batched-matmul step at B=8 (weights dominate
     # the decode byte stream).  The projections are likewise batched M=B
     # dots; only the page walk (grid dim 1) stays per-request.
+    # grid dim 2 is the page-window walk, ONE step per window: step c does
+    # chunk c's softmax; step 0 additionally runs projection+rope (the
+    # chunk-0 gather flies over that VPU/MXU work) and the last step folds
+    # the current token + O-projection.  The former (n_steps+2)-phase
+    # layout paid ~1.5 us of grid-step fixed cost per extra phase per
+    # (g, b) — at B=8, G=8, 32 layers that was ~40% of the whole step.
     g_id = pl.program_id(0)
     b_id = pl.program_id(1)
     c_id = pl.program_id(2)
-    n_steps = pl.num_programs(2) - 1
+    n_steps = pl.num_programs(2)
     B = pl.num_programs(1)
     seq = lens_ref[b_id]
     hd = head_dim
@@ -184,6 +191,20 @@ def _paged_kernel(
                 else:
                     for cp in window_copies(0, 0):
                         cp.start()
+        if append:
+            # kick the append-RMW window READ now; it lands by the last
+            # step's modify+write (overlapped with the whole page walk)
+            rmw = min(8, page)
+            pg_a = table_ref[b_id, seq // page]
+            off_a = seq - (seq // page) * page
+            row8 = (off_a // rmw) * rmw
+            hsl = pl.ds(g_id * hg, hg)
+            pltpu.make_async_copy(
+                kp_out_ref.at[l, pg_a, hsl, pl.ds(row8, rmw)], krow_s,
+                row_sem.at[0]).start()
+            pltpu.make_async_copy(
+                vp_out_ref.at[l, pg_a, hsl, pl.ds(row8, rmw)], vrow_s,
+                row_sem.at[1]).start()
         qkv = qkv_s[pl.ds(b_id, 1), :]                     # [1, qkv_cols]
         cos_f = cos_ref[0].astype(f32)
         sin_f = sin_ref[0].astype(f32)
@@ -205,9 +226,9 @@ def _paged_kernel(
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
-    # ---- page-window steps: online softmax over this request's pages --------
-    c = c_id - 1
-    chunk_live = jnp.logical_and(c_id >= 1, c * chunk < seq)
+    # ---- page-window walk: online softmax, one window per grid step ---------
+    c = c_id
+    chunk_live = c * chunk < seq
     if window:
         # chunks entirely below the window are skipped: no gather DMA was
         # started for them (see the w0 kick-off) and no compute runs.
@@ -223,7 +244,8 @@ def _paged_kernel(
             for cp in window_copies(c, buf):
                 cp.wait()
             # prefetch the next window into the other buffer while computing
-            @pl.when(jnp.logical_and(c_id < n_steps, (c + 1) * chunk < seq))
+            @pl.when(jnp.logical_and(c_id < n_steps - 1,
+                                     (c + 1) * chunk < seq))
             def _():
                 for cp in window_copies(c + 1, 1 - buf):
                     cp.start()
@@ -275,16 +297,18 @@ def _paged_kernel(
             ml_s[1, h * group:(h + 1) * group] = \
                 (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
 
-    # ---- final step: current token + O-proj partial (+ in-kernel append) ----
-    @pl.when(c_id == n_steps)
+    # ---- last walk step: current token + O-proj (+ in-kernel append) --------
+    @pl.when(c_id == n_steps - 1)
     def _():
         if append:
-            # append this group's new K/V rows at (page table[b, seq//page],
-            # row seq%page) via an aligned RMW into the aliased pools — an
-            # XLA scatter next to a pallas pool operand materializes a full
-            # pool copy per layer (measured 116.7 vs 14.4 ms/step).  The RMW
-            # window is 8 sublanes, or the whole page when page < 8 (the
-            # sglang parity entry runs page-size-1 pools).
+            # finish the append RMW started at step 0: wait the window
+            # read (long landed — it overlapped the whole page walk),
+            # set row seq%page of this group's head slice, write back.
+            # An XLA scatter next to a pallas pool operand would
+            # materialize a full pool copy per layer (measured 116.7 vs
+            # 14.4 ms/step).  The RMW window is 8 sublanes, or the whole
+            # page when page < 8 (the sglang parity entry runs
+            # page-size-1 pools).
             rmw = min(8, page)
             pg = table_ref[b_id, seq // page]
             off = seq - (seq // page) * page
@@ -292,12 +316,8 @@ def _paged_kernel(
             hsl = pl.ds(g_id * hg, hg)
             ksl = kp_out_ref.at[l, pg, hsl, pl.ds(row8, rmw)]
             vsl = vp_out_ref.at[l, pg, hsl, pl.ds(row8, rmw)]
-            k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
-            v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
-            k_in.start()
-            v_in.start()
-            k_in.wait()
-            v_in.wait()
+            pltpu.make_async_copy(ksl, krow_s, row_sem.at[0]).wait()
+            pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1]).wait()
             sub = jax.lax.broadcasted_iota(jnp.int32, (hg, rmw, hd), 1)
             sel = sub == off - row8
             krow_s[...] = jnp.where(
@@ -491,7 +511,7 @@ def llama_decoder_layer_paged(
         inputs.append(wo_s)
     def kv_index_map(g, b, c, meta_s, lens_s, pos_s, table_s):
         last = jnp.maximum(pl.cdiv(lens_s[b], page) - 1, 0)
-        j = jnp.minimum(jnp.maximum(c - 1, 0), last)
+        j = jnp.minimum(c, last)
         if window:
             # below-window pages alias the first in-window page (their
             # fetch is elided; the kernel body skips their compute);
@@ -541,7 +561,7 @@ def llama_decoder_layer_paged(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(G, B, n_steps + 1),
+        grid=(G, B, n_steps),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -685,7 +705,7 @@ def llama_decoder_layer_batch_decode_sglang(
 # projections/O/FFN as BATCHED XLA matmuls (weights stream ONCE at M=B,
 # which the MXU likes), and keep Pallas only for what XLA cannot do — the
 # per-request scattered page walk with online softmax.  This kernel is
-# that piece: grid (B, pages + 1), all KV heads per step, no weight
+# that piece: grid (B, page_windows), all KV heads per step, no weight
 # operands.
 #
 # The new token's K/V is appended IN-KERNEL through input_output_aliased
@@ -711,7 +731,10 @@ def _paged_attn_kernel(
 ):
     b_id = pl.program_id(0)
     c_id = pl.program_id(1)
-    n_steps = pl.num_programs(1) - 1
+    n_steps = pl.num_programs(1)         # one grid step per page window:
+    # step c computes chunk c; step 0 also inits + kicks gathers and the
+    # append-RMW read; the last step folds the current token and writes
+    # back (grid fixed cost ~1.5 us/step — extra phases are pure overhead)
     n_past = lens_ref[b_id]              # cached rows (EXCLUDING current)
     hd = head_dim
     rows = kv_heads * group
@@ -754,6 +777,16 @@ def _paged_attn_kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
+        # kick the append-RMW window read — it lands by the last step's
+        # modify+write, overlapped with the whole page walk
+        pg_a = pgrow_ref[b_id]
+        row8_a = (off_ref[b_id] // 8) * 8
+        pltpu.make_async_copy(
+            kp_out_ref.at[l, pg_a, :, pl.ds(row8_a, 8)], krow_s,
+            row_sem.at[0]).start()
+        pltpu.make_async_copy(
+            vp_out_ref.at[l, pg_a, :, pl.ds(row8_a, 8)], vrow_s,
+            row_sem.at[1]).start()
 
         @pl.when(n_past > 0)
         def _():
@@ -768,7 +801,7 @@ def _paged_attn_kernel(
             else:
                 start_window(0, 0)
 
-    _live = jnp.logical_and(c_id >= 1, (c_id - 1) * chunk < n_past)
+    _live = (c_id * chunk < n_past)
     if window:
         # chunks entirely below the window: no gather was started, no
         # compute runs (the query sits at position n_past — Mistral
@@ -777,14 +810,15 @@ def _paged_attn_kernel(
         _wlo = n_past + 1 - window
         if window_pattern == "even":
             _wlo = jnp.where(l % 2 == 0, _wlo, 0)
-        _live = jnp.logical_and(_live, c_id * chunk > _wlo)
+        _live = jnp.logical_and(_live, (c_id + 1) * chunk > _wlo)
     @pl.when(_live)
     def _():
-        c = c_id - 1
+        c = c_id
         buf = jax.lax.rem(c, 2)
         wait_window(c, buf)
         # prefetch the next window into the other buffer while computing
-        @pl.when(jnp.logical_and(c_id < n_steps, (c + 1) * chunk < n_past))
+        @pl.when(jnp.logical_and(c_id < n_steps - 1,
+                                 (c + 1) * chunk < n_past))
         def _():
             start_window(c + 1, 1 - buf)
         pos_base = c * chunk
@@ -824,10 +858,10 @@ def _paged_attn_kernel(
             ml_s[1, r0:r0 + group] = \
                 (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
 
-    @pl.when(c_id == pl.num_programs(1) - 1)
+    @pl.when(c_id == n_steps - 1)
     def _():
         # fold the current token from registers, write output, then append
-        # its K/V row via an aligned RMW into the aliased pool
+        # its K/V row (RMW read started at step 0, long landed)
         k_cur = kn_ref[0].astype(f32)                       # [kv, hd]
         v_cur = vn_ref[0].astype(f32)
         q = q_ref[0].astype(f32)                            # [kv, g, hd]
@@ -851,18 +885,13 @@ def _paged_attn_kernel(
         o = acc / l_f
         o_ref[...] = o.reshape(1, 1, rows * hd).astype(o_ref.dtype)
 
-        l = meta_ref[0]
         pg = pgrow_ref[b_id]
         off = off_ref[b_id]
         row8 = (off // 8) * 8
         ksl = kp_out_ref.at[l, pg, :, pl.ds(row8, 8)]
         vsl = vp_out_ref.at[l, pg, :, pl.ds(row8, 8)]
-        k_in = pltpu.make_async_copy(ksl, krow_s, row_sem.at[0])
-        v_in = pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1])
-        k_in.start()
-        v_in.start()
-        k_in.wait()
-        v_in.wait()
+        pltpu.make_async_copy(ksl, krow_s, row_sem.at[0]).wait()
+        pltpu.make_async_copy(vsl, vrow_s, row_sem.at[1]).wait()
         sub = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, 8, hd), 1)
         sel = sub == off - row8
         krow_s[...] = jnp.where(sel, kn_ref[0].astype(krow_s.dtype)[:, None, :],
@@ -939,7 +968,7 @@ def paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(B, n_steps + 1),
+        grid=(B, n_steps),
         in_specs=[
             pl.BlockSpec((1, kv_heads, group, hd),
                          lambda b, c, *s: (b, 0, 0, 0),
