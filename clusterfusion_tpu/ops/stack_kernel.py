@@ -12,15 +12,17 @@ computes.  One launch per token removes every kernel-boundary bubble
 (measured: 32 x 2 kernel launches/token leave ~7% of decode time in
 boundaries where no weight DMA is in flight).
 
-Phase layout within a layer (grid dim 1, T = G*(nc+1) + nb steps):
+Phase layout within a layer (grid dim 1, T = G*nc + nb steps):
 
   t = 0:                residual-add + attn RMSNorm (+ g=0 QKV projection)
-  t in [0, G*(nc+1)):   attention: g = t//(nc+1) head groups, per group one
-                        projection step then nc KV-chunk flash-decode steps
-                        with the online-softmax state in scratch; the
-                        group's final step folds the current token and
+  t in [0, G*nc):       attention: g = t//nc head groups, per group nc
+                        KV-chunk flash-decode steps with the online-softmax
+                        state in scratch; each group's FIRST step also runs
+                        its QKV projection + rope + append RMW (the chunk-0
+                        KV block was prefetched during the previous step),
+                        and its LAST step folds the current token and
                         accumulates the O-projection partial
-  t = G*(nc+1):         attn-out residual-add + FFN RMSNorm
+  t = G*nc:             attn-out residual-add + FFN RMSNorm
   t in [TA, TA + nb):   FFN: gate/up dot on w13 block j, SiLU*up, w2
                         down-projection partial accumulation
   last t of layer L-1:  write (x_out, residual_out)
@@ -117,7 +119,7 @@ def _stack_kernel(
         rrecv_s, rsend_sem, rrecv_sem, rack_sem = (next(it) for _ in range(4))
 
     # 1D grid flattened over (layer, phase) + trailing LM-head phases
-    TA = G * (nc + 1)
+    TA = G * nc
     T = TA + nb
     t_all = pl.program_id(0)
     l = jnp.minimum(t_all // T, L - 1)
@@ -187,8 +189,8 @@ def _stack_kernel(
     # ---- attention phases ----------------------------------------------------
     in_attn = t < TA
     tt = jnp.minimum(t, TA - 1)
-    g_id = tt // (nc + 1)
-    c_id = tt % (nc + 1)
+    g_id = tt // nc
+    c_id = tt % nc
 
     @pl.when(jnp.logical_and(in_attn, c_id == 0))
     def _():
@@ -273,8 +275,8 @@ def _stack_kernel(
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
-    c = c_id - 1
-    live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
+    c = c_id
+    live = c * kv_chunk < seq
     if window:
         # sliding window (Mistral semantics: attend positions >= seq+1-window
         # only).  Chunks entirely below the window are skipped — the index
@@ -338,7 +340,7 @@ def _stack_kernel(
             ml_s[1, h * group:(h + 1) * group] = \
                 (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
 
-    @pl.when(jnp.logical_and(in_attn, c_id == nc))
+    @pl.when(jnp.logical_and(in_attn, c_id == nc - 1))
     def _():
         q = q_s[...]
         k_cur = kv_s[:hg, :]
@@ -636,7 +638,7 @@ def fused_decoder_stack(
     nc = max(cdiv(cap, chunk), 1)
     bf = ffn_block_size(f_pad, kcfg.ffn_block_target)
     nb = f_pad // bf
-    TA = G * (nc + 1)
+    TA = G * nc
     T = TA + nb
 
     with_lm = lm_head is not None
@@ -667,7 +669,7 @@ def fused_decoder_stack(
 
     def g_of(ta):
         lx, t = lt_of(ta)
-        return jnp.minimum(t, TA - 1) // (nc + 1)
+        return jnp.minimum(t, TA - 1) // nc
 
     def j_of(ta):
         lx, t = lt_of(ta)
@@ -682,9 +684,9 @@ def fused_decoder_stack(
     def kv_index_map(ta, s):
         lx, t = lt_of(ta)
         tt = jnp.minimum(t, TA - 1)
-        c_i = tt % (nc + 1)
+        c_i = tt % nc
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
-        cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        cix = jnp.minimum(c_i, last)
         if window:
             # pre-window chunks alias the first in-window chunk's block —
             # Pallas elides the repeat fetch, so out-of-window KV costs no

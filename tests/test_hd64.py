@@ -64,9 +64,12 @@ def test_hd64_fused_decode_matches_eager(quant, kv_dtype):
         # codes may flip one unit where pre-quant rows differ by a bf16 ulp
         np.testing.assert_allclose(deq(kf), deq(ke), atol=0.08)
     else:
+        # int8 weights add a bf16 dequant-rounding ulp (fused dequantizes
+        # exactly int8->bf16 and scales the f32 dot; eager rounds the
+        # dequantized weight tensor to bf16 before the dot)
         np.testing.assert_allclose(np.asarray(kf[:, :, pos_i], np.float32),
                                    np.asarray(ke[:, :, pos_i], np.float32),
-                                   atol=0.03)
+                                   atol=0.045 if quant else 0.03)
 
 
 def test_hd64_decode_loop_multistep():
