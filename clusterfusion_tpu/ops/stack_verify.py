@@ -92,7 +92,7 @@ def _verify_kernel(
     if kv8:
         ksrow_s, vsrow_s, srow_sem = (next(it) for _ in range(3))
 
-    TA = G * (nc + 1)
+    TA = G * nc
     T = TA + nb
     t_all = pl.program_id(0)
     l = jnp.minimum(t_all // T, L - 1)
@@ -153,8 +153,8 @@ def _verify_kernel(
     # ---- attention phases ----------------------------------------------------
     in_attn = t < TA
     tt = jnp.minimum(t, TA - 1)
-    g_id = tt // (nc + 1)
-    c_id = tt % (nc + 1)
+    g_id = tt // nc
+    c_id = tt % nc
 
     @pl.when(jnp.logical_and(in_attn, c_id == 0))
     def _():
@@ -227,8 +227,8 @@ def _verify_kernel(
         ml_s[0, :] = jnp.full((rows,), _NEG_INF, f32)
         ml_s[1, :] = jnp.zeros((rows,), f32)
 
-    c = c_id - 1
-    chunk_live = jnp.logical_and(c_id >= 1, c * kv_chunk < seq)
+    c = c_id
+    chunk_live = c * kv_chunk < seq
     if window:
         # sliding window: the draft token at position seq+tok attends
         # >= seq+tok+1-window only.  Chunks entirely below token 0's
@@ -292,7 +292,7 @@ def _verify_kernel(
             ml_s[1, r0:r0 + group * n] = \
                 (l_old * alpha + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
 
-    @pl.when(jnp.logical_and(in_attn, c_id == nc))
+    @pl.when(jnp.logical_and(in_attn, c_id == nc - 1))
     def _():
         # n x n causal block against the fresh draft K/V, then O-projection
         # panel rows: (h, i, tok) -> token index = row % n
@@ -514,7 +514,7 @@ def fused_verify_stack(
     nc = max(cdiv(cap, chunk), 1)
     bf = ffn_block_size(f_pad, kcfg.ffn_block_target)
     nb = f_pad // bf
-    TA = G * (nc + 1)
+    TA = G * nc
     T = TA + nb
 
     with_lm = lm_head is not None
@@ -540,7 +540,7 @@ def fused_verify_stack(
     def g_of(ta):
         lx = l_of(ta)
         t = ta - lx * T
-        return jnp.minimum(t, TA - 1) // (nc + 1)
+        return jnp.minimum(t, TA - 1) // nc
 
     def j_of(ta):
         lx = l_of(ta)
@@ -554,9 +554,9 @@ def fused_verify_stack(
         lx = l_of(ta)
         t = ta - lx * T
         tt = jnp.minimum(t, TA - 1)
-        c_i = tt % (nc + 1)
+        c_i = tt % nc
         last = jnp.maximum(pl.cdiv(s[0], chunk) - 1, 0)
-        cix = jnp.minimum(jnp.maximum(c_i - 1, 0), last)
+        cix = jnp.minimum(c_i, last)
         if window:
             # chunks entirely below draft token 0's window (the lowest
             # bound of the n queries) alias the first in-window chunk —
