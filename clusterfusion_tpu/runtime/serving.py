@@ -156,13 +156,16 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                                table_loc=None, split_pools: bool = False):
     """Batched-matmul serving step (the B >= 4 design point).
 
-    The fused per-layer megakernel re-runs its M=1 projection GEMVs per
-    request, so a batch costs ~B x a single-sequence decode (measured
-    160 ms at B=8, 7B-int8 — no weight sharing).  Here the projections,
-    O-projection, FFN and LM head are BATCHED XLA matmuls — weights
-    stream from HBM once per step at M=B, which is exactly what the MXU
-    wants — and Pallas handles only what XLA cannot: the per-request
-    scattered page walk (``ops.paged_decoder_layer.paged_attention``).
+    The projections, O-projection, FFN and LM head are BATCHED XLA
+    matmuls — weights stream from HBM once per step at M=B, which is
+    exactly what the MXU wants — and Pallas handles only what XLA
+    cannot: the per-request scattered page walk
+    (``ops.paged_decoder_layer.paged_attention``).  Since round 5 the
+    fused per-layer megakernel also streams weights once (grid
+    G-outermost + M=B projections) and sits within ~10% of this step at
+    B=8 int8 (529 vs 579 tok/s, 256 ctx); this one stays the default for
+    weight layouts XLA can fuse (bf16/int8) and the fused kernel covers
+    int4, whose group scales only commute with the dot in-kernel.
 
     ``kcfg.serving_w8a8`` switches the int8 projections/FFN to native
     int8×int8 MXU dots over per-row int8-quantized activations (both
@@ -392,6 +395,18 @@ class ServingEngine:
                  kv_dtype=jnp.bfloat16, seed: int = 0,
                  prefill_chunk: Optional[int] = 1024,
                  step_impl: Optional[str] = None):
+        if cfg.head_dim_ % 128 != 0 and not interpret_mode():
+            # the paged kernels' page-gather and append-RMW DMAs slice the
+            # pool's minor (head) dim, which Mosaic requires to align to
+            # the (8, 128) tiling — sub-128 head dims (TinyLlama,
+            # Qwen2-0.5B) are decode/prefill/verify-only for now (the
+            # whole-stack kernel defers its append; see ops/stack_kernel
+            # defer_append).  Fail clearly instead of an opaque Mosaic
+            # compile error deep in the first step.
+            raise NotImplementedError(
+                f"paged serving requires head_dim % 128 == 0 on TPU "
+                f"(got {cfg.head_dim_}); use models.generation for "
+                f"single-stream decode of this model")
         if max_pages_per_req is None:
             max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
         self.params = params
