@@ -63,6 +63,23 @@ class LlamaConfig:
     # (pre-mask) and on final LM logits.  0.0 = off.
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
+    # Llama-3.1/3.2 rope frequency rescale (HF rope_scaling
+    # rope_type="llama3"): factor > 1 enables; long wavelengths divide by
+    # `factor`, short ones keep, with a smooth band between (see
+    # ops.rope.llama3_scaled_inv_freq).  A build-time table transform —
+    # every kernel path inherits it through model.rope_table.
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_orig_max_pos: int = 8192
+
+    @property
+    def llama3_scaling(self):
+        """(factor, low, high, orig_max) for ops.rope, or None."""
+        if self.rope_scaling_factor > 1.0:
+            return (self.rope_scaling_factor, self.rope_low_freq_factor,
+                    self.rope_high_freq_factor, self.rope_orig_max_pos)
+        return None
 
     @property
     def kv_heads(self) -> int:
@@ -95,6 +112,17 @@ class LlamaConfig:
                            ffn_dim=14336, n_layers=32, vocab_size=128256,
                            rope_theta=500000.0, norm_eps=1e-5,
                            rope_style="neox")
+
+    @staticmethod
+    def llama31_8b() -> "LlamaConfig":
+        # Llama-3.1-8B: 3.0 geometry + the "llama3" rope frequency rescale
+        # (HF rope_scaling: factor 8, low 1, high 4, orig 8192)
+        import dataclasses as _dc
+        return _dc.replace(LlamaConfig.llama3_8b(),
+                           rope_scaling_factor=8.0,
+                           rope_low_freq_factor=1.0,
+                           rope_high_freq_factor=4.0,
+                           rope_orig_max_pos=8192)
 
     @staticmethod
     def mistral_7b() -> "LlamaConfig":

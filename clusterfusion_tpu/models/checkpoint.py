@@ -178,6 +178,23 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
     with open(os.path.join(model_dir, "config.json")) as f:
         hc = json.load(f)
     gemma2 = hc.get("model_type") == "gemma2"
+    # Llama-3.1/3.2 frequency rescale (rope_scaling rope_type="llama3") —
+    # without it every position gets wrong long-wavelength frequencies.
+    # "default"/null pass through; other types are rejected loudly.
+    rs = hc.get("rope_scaling") or {}
+    rs_type = rs.get("rope_type", rs.get("type", "default"))
+    l3 = dict(rope_scaling_factor=1.0)
+    if rs and rs_type == "llama3":
+        l3 = dict(
+            rope_scaling_factor=float(rs.get("factor", 8.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_orig_max_pos=int(rs.get(
+                "original_max_position_embeddings", 8192)))
+    elif rs and rs_type != "default":
+        raise NotImplementedError(
+            f"rope_scaling type {rs_type!r} is not supported for "
+            f"llama-family checkpoints (supported: llama3, default)")
     cfg = LlamaConfig(
         hidden_dim=hc["hidden_size"],
         n_heads=hc["num_attention_heads"],
@@ -204,6 +221,7 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         sandwich_norms=gemma2,
         attn_logit_softcap=hc.get("attn_logit_softcapping") or 0.0,
         final_logit_softcap=hc.get("final_logit_softcapping") or 0.0,
+        **l3,
     )
     head_group = head_group or default_head_group(cfg, quant)
     state = _load_hf_state(model_dir)

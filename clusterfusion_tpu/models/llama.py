@@ -172,10 +172,11 @@ def rope_table(cfg: LlamaConfig, max_pos: Optional[int] = None):
     megakernel consumes for cfg.rope_style."""
     hd = cfg.head_dim_
     max_pos = max_pos or cfg.max_seq_len
+    l3 = cfg.llama3_scaling
     if cfg.rope_style == "neox":
-        c, s = rope_tables_neox(hd, max_pos, cfg.rope_theta)
+        c, s = rope_tables_neox(hd, max_pos, cfg.rope_theta, l3)
         return (jnp.concatenate([c, c], axis=-1), jnp.concatenate([s, s], axis=-1))
-    c, s = rope_tables_gptj(hd, max_pos, cfg.rope_theta)
+    c, s = rope_tables_gptj(hd, max_pos, cfg.rope_theta, l3)
     return c, s
 
 

@@ -23,28 +23,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def rope_freqs(head_dim: int, max_pos: int, theta: float = 10000.0) -> jnp.ndarray:
+def llama3_scaled_inv_freq(inv_freq: np.ndarray, factor: float,
+                           low_freq_factor: float, high_freq_factor: float,
+                           orig_max_pos: int) -> np.ndarray:
+    """Llama-3.1/3.2 frequency rescale (HF ``rope_type: "llama3"``).
+
+    Wavelengths shorter than ``orig/high`` keep their frequency, longer
+    than ``orig/low`` divide by ``factor``, and the band between them
+    interpolates smoothly — a one-time per-frequency rescale (unlike YaRN
+    there is no attention-scale correction).  Matches transformers'
+    ``_compute_llama3_parameters``; the reference predates Llama 3.1 and
+    has no analogue."""
+    low_wl = orig_max_pos / low_freq_factor
+    high_wl = orig_max_pos / high_freq_factor
+    wavelen = 2.0 * np.pi / inv_freq
+    smooth = (orig_max_pos / wavelen - low_freq_factor) \
+        / (high_freq_factor - low_freq_factor)
+    mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = np.where(wavelen > low_wl, inv_freq / factor,
+                   np.where(wavelen < high_wl, inv_freq, mid))
+    return out.astype(inv_freq.dtype)
+
+
+def rope_freqs(head_dim: int, max_pos: int, theta: float = 10000.0,
+               llama3_scaling=None) -> jnp.ndarray:
     """Per-(position, freq) angles, shape [max_pos, head_dim // 2], fp32.
 
     Equivalent to the angle of ``precompute_freqs_cis`` in the reference
-    (`chat/llama/model.py:82-110`)."""
+    (`chat/llama/model.py:82-110`).  ``llama3_scaling``: optional
+    (factor, low_freq_factor, high_freq_factor, orig_max_pos) tuple for
+    Llama-3.1-style frequency rescaling."""
     inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim))
+    if llama3_scaling is not None and llama3_scaling[0] > 1.0:
+        inv_freq = llama3_scaled_inv_freq(inv_freq, *llama3_scaling)
     t = np.arange(max_pos)
     angles = np.outer(t, inv_freq).astype(np.float32)
     return jnp.asarray(angles)
 
 
-def rope_tables_neox(head_dim: int, max_pos: int, theta: float = 10000.0):
+def rope_tables_neox(head_dim: int, max_pos: int, theta: float = 10000.0,
+                     llama3_scaling=None):
     """(cos, sin) of shape [max_pos, head_dim/2] — the sglang-kernel layout
     (`kernel_sglang.cuh:12,27` takes cos/sin of HEAD_DIM/2)."""
-    a = rope_freqs(head_dim, max_pos, theta)
+    a = rope_freqs(head_dim, max_pos, theta, llama3_scaling)
     return jnp.cos(a), jnp.sin(a)
 
 
-def rope_tables_gptj(head_dim: int, max_pos: int, theta: float = 10000.0):
+def rope_tables_gptj(head_dim: int, max_pos: int, theta: float = 10000.0,
+                     llama3_scaling=None):
     """(cos, sin) of shape [max_pos, head_dim], repeat_interleaved —
     the layout fed to ``llama_decoder_layer`` (`chat/llama/model.py:278-280`)."""
-    a = rope_freqs(head_dim, max_pos, theta)
+    a = rope_freqs(head_dim, max_pos, theta, llama3_scaling)
     c, s = jnp.cos(a), jnp.sin(a)
     return (jnp.repeat(c, 2, axis=-1), jnp.repeat(s, 2, axis=-1))
 

@@ -185,3 +185,114 @@ def test_text_completion_logprobs_fields():
     for r in out:
         assert set(r) == {"generation", "tokens", "logprobs"}
         assert len(r["tokens"]) == len(r["logprobs"])
+
+
+def test_llama3_rope_scaling_matches_hf_formula():
+    """ops.rope.llama3_scaled_inv_freq must reproduce transformers'
+    _compute_llama3_parameters exactly (Llama-3.1/3.2 rope_scaling)."""
+    import numpy as np
+    from clusterfusion_tpu.ops.rope import llama3_scaled_inv_freq
+
+    hd, theta = 128, 500000.0
+    factor, low, high, orig = 8.0, 1.0, 4.0, 8192
+    inv = 1.0 / (theta ** (np.arange(0, hd, 2) / hd))
+    got = llama3_scaled_inv_freq(inv, factor, low, high, orig)
+
+    # independent restatement of the HF reference computation
+    low_wl = orig / low
+    high_wl = orig / high
+    want = []
+    for f in inv:
+        wl = 2 * np.pi / f
+        if wl < high_wl:
+            want.append(f)
+        elif wl > low_wl:
+            want.append(f / factor)
+        else:
+            s = (orig / wl - low) / (high - low)
+            want.append((1 - s) * f / factor + s * f)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
+    # the rescale must actually bite: lowest frequency divided by ~factor
+    assert got[-1] < inv[-1] / (factor * 0.9)
+    # and the highest frequencies must be untouched
+    np.testing.assert_allclose(got[0], inv[0])
+
+
+def test_llama31_scaled_decode_fused_matches_eager():
+    """The scaled tables flow through model.rope_table into every kernel
+    path: fused decode == eager with rope_scaling_factor=8, and the scaled
+    model's logits genuinely differ from the unscaled one."""
+    import dataclasses
+    cfg = LlamaConfig.tiny(max_seq_len=64, rope_style="neox",
+                           rope_scaling_factor=8.0,
+                           rope_low_freq_factor=1.0,
+                           rope_high_freq_factor=4.0,
+                           rope_orig_max_pos=32)
+    params = model.init_params(cfg, jax.random.PRNGKey(11))
+    kc, vc = model.init_cache(cfg)
+    prompt = (jnp.arange(20, dtype=jnp.int32) * 7 + 3) % cfg.vocab_size
+    _, kc, vc = model.prefill(params, kc, vc, prompt, cfg)
+    tok = jnp.asarray(5, jnp.int32)
+    pos = jnp.asarray(20, jnp.int32)
+    lf, _, _ = model.decode_step(params, kc, vc, tok, pos, cfg, fused=True)
+    le, _, _ = model.decode_step(params, kc, vc, tok, pos, cfg, fused=False)
+    scale = max(float(jnp.max(jnp.abs(le))), 1.0)
+    assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale
+
+    cfg0 = dataclasses.replace(cfg, rope_scaling_factor=1.0)
+    kc0, vc0 = model.init_cache(cfg0)
+    _, kc0, vc0 = model.prefill(params, kc0, vc0, prompt, cfg0)
+    l0, _, _ = model.decode_step(params, kc0, vc0, tok, pos, cfg0,
+                                 fused=True)
+    assert float(jnp.max(jnp.abs(lf - l0))) > 0.01 * scale
+
+
+def test_hf_loader_rope_scaling(tmp_path):
+    """load_hf_checkpoint parses rope_scaling: llama3 configs populate the
+    scaling fields, default/null pass through, unknown types error."""
+    import json
+    import numpy as np
+    from safetensors.numpy import save_file
+    from clusterfusion_tpu.models.checkpoint import load_hf_checkpoint
+
+    h, heads, kvh, hd, f, V = 256, 2, 1, 128, 512, 512
+    rng = np.random.RandomState(3)
+    st = {"model.embed_tokens.weight":
+          rng.randn(V, h).astype(np.float32) * 0.02,
+          "model.norm.weight": rng.randn(h).astype(np.float32) * 0.1,
+          "lm_head.weight": rng.randn(V, h).astype(np.float32) * 0.02}
+    p = "model.layers.0."
+    for nm, shp in [("self_attn.q_proj", (heads * hd, h)),
+                    ("self_attn.k_proj", (kvh * hd, h)),
+                    ("self_attn.v_proj", (kvh * hd, h)),
+                    ("self_attn.o_proj", (h, heads * hd)),
+                    ("mlp.gate_proj", (f, h)), ("mlp.up_proj", (f, h)),
+                    ("mlp.down_proj", (h, f))]:
+        st[p + nm + ".weight"] = rng.randn(*shp).astype(np.float32) * 0.05
+    for nm in ("input_layernorm", "post_attention_layernorm"):
+        st[p + nm + ".weight"] = rng.randn(h).astype(np.float32) * 0.1
+    base = {"model_type": "llama", "hidden_size": h,
+            "num_attention_heads": heads, "num_key_value_heads": kvh,
+            "head_dim": hd, "intermediate_size": f, "num_hidden_layers": 1,
+            "vocab_size": V, "rms_norm_eps": 1e-5, "rope_theta": 500000.0}
+
+    def load(name, rope_scaling):
+        d = tmp_path / name
+        d.mkdir()
+        save_file(st, str(d / "model.safetensors"))
+        (d / "config.json").write_text(json.dumps(
+            {**base, "rope_scaling": rope_scaling}))
+        return load_hf_checkpoint(str(d), max_seq_len=64)
+
+    _, cfg = load("l31", {"rope_type": "llama3", "factor": 8.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 8192})
+    assert cfg.rope_scaling_factor == 8.0 and cfg.rope_orig_max_pos == 8192
+    assert cfg.llama3_scaling == (8.0, 1.0, 4.0, 8192)
+
+    _, cfg0 = load("plain", None)
+    assert cfg0.llama3_scaling is None
+
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        load("bad", {"rope_type": "yarn", "factor": 4.0})
