@@ -355,25 +355,41 @@ def _paged_kernel(
         # bf16-round first (numerics identical to the old per-request dot),
         # then widen to the f32 scratch dtype — exact for bf16 values
         o = (acc / l_f).astype(jnp.bfloat16)
-        o_all_s[pl.ds(b_id, 1), :] = \
-            o.reshape(1, rows * hd).astype(jnp.float32)
+        if hd % 128 == 0:
+            o_all_s[pl.ds(b_id, 1), :] = \
+                o.reshape(1, rows * hd).astype(jnp.float32)
+        else:
+            # hd=64: Mosaic rejects the [rows, 64] -> [1, rows*64] lane
+            # collapse — the scratch is [rows*B, hd] in row-major-by-r
+            # layout so the batched O-proj below can slice [B, hd] blocks
+            for r in range(rows):
+                o_all_s[pl.ds(r * B + b_id, 1), :] = \
+                    o[r:r + 1].astype(jnp.float32)
 
         # last request of this group: ONE M=B O-projection against the
         # resident weight block, accumulated across groups
         @pl.when(b_id == B - 1)
         def _():
-            o_all = o_all_s[...].astype(jnp.bfloat16)      # [B, rows*hd]
             if wq_kind == "none":
-                out_s[...] += jnp.dot(o_all, _m2(wo_ref),
-                                      preferred_element_type=f32)
+                wv = _m2(wo_ref)
             elif wq_kind == "int8":
-                out_s[...] += jnp.dot(o_all,
-                                      _m2(wo_ref).astype(jnp.bfloat16),
-                                      preferred_element_type=f32) \
-                    * _m2(wo_s_ref)
+                wv = _m2(wo_ref).astype(jnp.bfloat16)
             else:
-                wb = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
-                out_s[...] += jnp.dot(o_all, wb, preferred_element_type=f32)
+                wv = _dequant_int4_tile(_m2(wo_ref), _m2(wo_s_ref), gs_q)
+            if hd % 128 == 0:
+                o_all = o_all_s[...].astype(jnp.bfloat16)  # [B, rows*hd]
+                part = jnp.dot(o_all, wv, preferred_element_type=f32)
+            else:
+                # per-row [B, hd] x [hd, hidden] dots, summed over r
+                part = None
+                for r in range(rows):
+                    ob = o_all_s[r * B:(r + 1) * B, :].astype(jnp.bfloat16)
+                    pr = jnp.dot(ob, wv[r * hd:(r + 1) * hd],
+                                 preferred_element_type=f32)
+                    part = pr if part is None else part + pr
+            if wq_kind == "int8":
+                part = part * _m2(wo_s_ref)
+            out_s[...] += part
 
             @pl.when(g_id == pl.num_programs(0) - 1)
             def _():
@@ -447,7 +463,11 @@ def llama_decoder_layer_paged(
     # page % 8 != 0 (the page-1 sglang parity op): Mosaic cannot DMA-slice
     # the sub-tile page axis, so the kernel falls back to BlockSpec page
     # reads (one page per grid step) and the append to an XLA scatter
-    gather = page % 8 == 0
+    # the explicit page-gather DMAs slice the pool's head (minor) dim,
+    # which must align to the (8,128) tiling: sub-128 head dims fall back
+    # to BlockSpec page reads (one page per step) + the XLA scatter append,
+    # like the page%8!=0 sglang parity case
+    gather = page % 8 == 0 and hd % 128 == 0
     # npp capped at 64: each window page is one DMA + one semaphore slot
     npp = max(1, min(max_pages, kcfg.kv_chunk // page, 64)) if gather else 1
     chunk = npp * page
@@ -569,7 +589,10 @@ def llama_decoder_layer_paged(
             pltpu.VMEM((B, qkv_cols), jnp.float32),      # batched QKV proj
             pltpu.VMEM((hg * group, hd), jnp.float32),   # q (rope'd, scaled)
             pltpu.VMEM((hg * group, hd), jnp.float32),   # softmax acc
-            pltpu.VMEM((B, wo_rows), jnp.float32),       # per-req attn out
+            # per-request attention out: [B, rows*hd] flat, or r-major
+            # [rows*B, hd] when hd < 128 (no lane-collapse reshapes)
+            pltpu.VMEM((B, wo_rows) if hd % 128 == 0
+                       else (hg * group * B, hd), jnp.float32),
             pltpu.VMEM((B, hidden), jnp.float32),        # batched O-proj acc
             pltpu.VMEM((2, hg * group), jnp.float32),
             pltpu.VMEM((2 * hg, hd), jnp.float32),

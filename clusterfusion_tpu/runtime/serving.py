@@ -395,18 +395,15 @@ class ServingEngine:
                  kv_dtype=jnp.bfloat16, seed: int = 0,
                  prefill_chunk: Optional[int] = 1024,
                  step_impl: Optional[str] = None):
-        if cfg.head_dim_ % 128 != 0 and not interpret_mode():
-            # the paged kernels' page-gather and append-RMW DMAs slice the
-            # pool's minor (head) dim, which Mosaic requires to align to
-            # the (8, 128) tiling — sub-128 head dims (TinyLlama,
-            # Qwen2-0.5B) are decode/prefill/verify-only for now (the
-            # whole-stack kernel defers its append; see ops/stack_kernel
-            # defer_append).  Fail clearly instead of an opaque Mosaic
-            # compile error deep in the first step.
-            raise NotImplementedError(
-                f"paged serving requires head_dim % 128 == 0 on TPU "
-                f"(got {cfg.head_dim_}); use models.generation for "
-                f"single-stream decode of this model")
+        if cfg.head_dim_ % 128 != 0 and step_impl != "fused":
+            # sub-128 head dims (TinyLlama, Qwen2-0.5B): the batched
+            # step's paged_attention gathers pages with DMAs that slice
+            # the pool's head (minor) dim — illegal under Mosaic's
+            # (8, 128) tiling.  The fused per-layer impl has an
+            # hd-agnostic fallback (BlockSpec page reads + XLA scatter
+            # append, ops.paged_decoder_layer gather=False), so route
+            # there.
+            step_impl = "fused"
         if max_pages_per_req is None:
             max_pages_per_req = round_up(cfg.max_seq_len, page_size) // page_size
         self.params = params

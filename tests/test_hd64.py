@@ -105,3 +105,36 @@ def test_hd64_windowed():
     le, _, _ = model.decode_step(params, kc, vc, tok, pos, cfg, fused=False)
     scale = max(float(jnp.max(jnp.abs(le))), 1.0)
     assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale
+
+
+def test_hd64_serving_matches_single_seq():
+    """Paged serving at hd=64: the engine routes to the fused per-layer
+    impl, whose gather=False fallback reads pages via BlockSpec and
+    appends via the XLA scatter (the explicit page-gather DMAs cannot
+    slice a 64-lane pool minor under Mosaic's (8,128) tiling)."""
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+
+    params = model.init_params(CFG, jax.random.PRNGKey(6))
+
+    def ref_greedy(prompt, n_gen):
+        kc, vc = model.init_cache(CFG)
+        logits, kc, vc = model.prefill(params, kc, vc,
+                                       jnp.asarray(prompt, jnp.int32), CFG)
+        toks = [int(jnp.argmax(logits[len(prompt) - 1]))]
+        pos = len(prompt)
+        for _ in range(n_gen - 1):
+            lg, kc, vc = model.decode_step(
+                params, kc, vc, jnp.asarray(toks[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32), CFG, fused=True)
+            toks.append(int(jnp.argmax(lg)))
+            pos += 1
+        return toks
+
+    prompts = {0: list(range(1, 22)), 1: [9, 4, 17]}
+    eng = ServingEngine(params, CFG, page_size=8, num_pages=64, max_batch=4)
+    assert eng.step_impl == "fused"
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=4, temperature=0.0)
+    out = eng.run()
+    for rid, p in prompts.items():
+        assert out[rid] == ref_greedy(p, 4), rid
