@@ -40,7 +40,7 @@ from clusterfusion_tpu.parallel.sharding import cache_pspec, param_pspecs
 def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                              kcfg: KernelConfig = KernelConfig(),
                              fused_collectives: bool = False,
-                             interpret=None):
+                             interpret=None, params=None):
     """Build a jitted tp-sharded fused decode step:
 
     ``step(params, k_cache, v_cache, token, pos) ->
@@ -64,7 +64,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
     hd = cfg.head_dim_
 
     if fused_collectives:
-        return _make_fused_collective_decode_step(cfg, mesh, kcfg, interpret)
+        return _make_fused_collective_decode_step(cfg, mesh, kcfg,
+                                                  interpret, params)
 
     def local_step(params, k_cache, v_cache, token, pos):
         cos_t, sin_t = model.rope_table(cfg)
@@ -105,10 +106,14 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
                                                     keepdims=False)
             ffn_in, residual = fused_add_rmsnorm(attn, residual,
                                                  ffn_norm, cfg.norm_eps)
+            # tree-map slicing also works on QuantizedTensor pytrees
+            # (q and s both carry the leading layer axis)
             h = model._ffn(
                 ffn_in,
-                jax.lax.dynamic_index_in_dim(lw["w13"], l, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(lw["w2"], l, 0, keepdims=False),
+                jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), lw["w13"]),
+                jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+                    a, l, 0, keepdims=False), lw["w2"]),
                 cfg.ffn_act)
             # ICI all-reduce of the row-parallel FFN down-projection
             # (the reference's Stage::FFN reduce minus its fused ReLU —
@@ -126,14 +131,13 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             layer, (x, residual, k_cache, v_cache), layer_idx)
         xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                       cfg.norm_eps)
-        logits = jnp.dot(xn[0], params["lm_head"],
-                         preferred_element_type=jnp.float32)
+        logits = model._lm_logits(xn[0], params["lm_head"])
         return logits, k_cache, v_cache           # logits vocab-sharded
 
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(param_pspecs(cfg, tp), cache_pspec(), cache_pspec(),
-                  P(), P()),
+        in_specs=(param_pspecs(cfg, tp, params), cache_pspec(),
+                  cache_pspec(), P(), P()),
         out_specs=(P("tp"), cache_pspec(), cache_pspec()),
         check_rep=False,
     )
@@ -141,7 +145,8 @@ def make_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
 
 
 def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
-                                       kcfg: KernelConfig, interpret):
+                                       kcfg: KernelConfig, interpret,
+                                       params=None):
     """One megakernel per chip per token, ICI rings fused in-kernel —
     see ``make_sharded_decode_step(fused_collectives=True)``."""
     from clusterfusion_tpu.ops.stack_kernel import fused_decoder_stack
@@ -174,14 +179,13 @@ def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
         # vocab-sharded LM head need no further collective
         xn, _ = fused_add_rmsnorm_ref(x_out, res_out, params["final_norm"],
                                       cfg.norm_eps)
-        logits = jnp.dot(xn[0], params["lm_head"],
-                         preferred_element_type=jnp.float32)
+        logits = model._lm_logits(xn[0], params["lm_head"])
         return logits, k_cache, v_cache
 
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(param_pspecs(cfg, tp), cache_pspec(), cache_pspec(),
-                  P(), P()),
+        in_specs=(param_pspecs(cfg, tp, params), cache_pspec(),
+                  cache_pspec(), P(), P()),
         out_specs=(P("tp"), cache_pspec(), cache_pspec()),
         check_rep=False,
     )

@@ -25,9 +25,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from clusterfusion_tpu.config import LlamaConfig
 
 
-def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
+def _qt_spec(spec: P, qt):
+    """Spec node for a :class:`QuantizedTensor` param, mirroring its pytree
+    structure (same aux data, so spec and param trees stay isomorphic).
+
+    The int8 payload / int4 packed payload keeps the weight's spec (packing
+    shrinks an axis but not its meaning).  Scales keep it too, EXCEPT the
+    int8 per-output-channel case, whose reduction axis collapsed to 1 and
+    must therefore replicate even when the weight shards that axis (w2's
+    row-parallel f).  int4 group-scale rows shard with the weight — their
+    count along any tp-sharded axis must divide tp."""
+    from clusterfusion_tpu.ops.quant import QuantizedTensor
+    sspec = list(spec) + [None] * (qt.s.ndim - len(spec))
+    if qt.kind == "int8":
+        sspec[qt.axis] = None
+    return QuantizedTensor(spec, P(*sspec), qt.kind, qt.axis,
+                           qt.group_size, qt.pack_axis)
+
+
+def param_pspecs(cfg: LlamaConfig, tp: int, params=None) -> Dict[str, Any]:
     """PartitionSpec pytree matching the param pytree (for shard_map and
-    NamedSharding construction)."""
+    NamedSharding construction).
+
+    Pass ``params`` when the tree holds :class:`QuantizedTensor` weights:
+    the matching spec entries are expanded into QuantizedTensor-shaped
+    spec nodes (payload + scale specs) so the spec tree stays isomorphic
+    to the param tree — quantized tensor-parallel decode works with the
+    same mesh layout as bf16."""
     assert cfg.kv_heads % tp == 0, f"tp={tp} must divide kv_heads={cfg.kv_heads}"
     assert cfg.ffn_dim % tp == 0
     specs = {
@@ -50,11 +74,21 @@ def param_pspecs(cfg: LlamaConfig, tp: int) -> Dict[str, Any]:
         # [L, hidden] norms replicate like attn_norm/ffn_norm
         specs["layers"]["post_attn_norm"] = P(None, None)
         specs["layers"]["post_ffn_norm"] = P(None, None)
+    if params is not None:
+        from clusterfusion_tpu.ops.quant import QuantizedTensor
+        for name in list(specs["layers"]):
+            w = params["layers"].get(name)
+            if isinstance(w, QuantizedTensor):
+                specs["layers"][name] = _qt_spec(specs["layers"][name], w)
+        if isinstance(params.get("lm_head"), QuantizedTensor):
+            specs["lm_head"] = _qt_spec(specs["lm_head"],
+                                        params["lm_head"])
     return specs
 
 
-def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
-    specs = param_pspecs(cfg, mesh.shape["tp"])
+def param_shardings(cfg: LlamaConfig, mesh: Mesh,
+                    params=None) -> Dict[str, Any]:
+    specs = param_pspecs(cfg, mesh.shape["tp"], params)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 
@@ -71,6 +105,7 @@ def cache_shardings(mesh: Mesh):
 
 
 def shard_params(params, cfg: LlamaConfig, mesh: Mesh):
-    """Place a param pytree onto the mesh with the canonical shardings."""
-    shardings = param_shardings(cfg, mesh)
+    """Place a param pytree onto the mesh with the canonical shardings
+    (quantized trees included — scale planes shard alongside payloads)."""
+    shardings = param_shardings(cfg, mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)

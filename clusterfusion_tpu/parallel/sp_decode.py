@@ -36,6 +36,7 @@ from clusterfusion_tpu.config import KernelConfig, LlamaConfig
 from clusterfusion_tpu.models import llama as model
 from clusterfusion_tpu.ops._support import interpret_mode
 from clusterfusion_tpu.ops.decoder_layer import _fused_decoder_layer
+from clusterfusion_tpu.ops.quant import maybe_dequantize
 from clusterfusion_tpu.ops.reference import (fused_add_rmsnorm_ref,
     rmsnorm_ref)
 from clusterfusion_tpu.parallel.collective import Stage, cluster_reduce
@@ -52,7 +53,8 @@ def cache_shardings_2d(mesh: Mesh):
 
 
 def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
-                                kcfg: KernelConfig = KernelConfig()):
+                                kcfg: KernelConfig = KernelConfig(),
+                                params=None):
     """Build a jitted (tp, sp)-sharded fused decode step:
 
     ``step(params, k_cache, v_cache, token, pos) ->
@@ -116,7 +118,10 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             o = (acc_g / l_g[:, None]).astype(jnp.bfloat16)
             rows_l = o.shape[0]
             o_flat = o.reshape(G, rows_l // G * hd)
-            attn = jnp.einsum("Gc,Gco->o", o_flat, p["wo_f"],
+            # partials mode keeps the O-projection outside the kernel:
+            # dequantize QuantizedTensor wo here (int8/int4 sp decode)
+            attn = jnp.einsum("Gc,Gco->o", o_flat,
+                              maybe_dequantize(p["wo_f"], o.dtype),
                               preferred_element_type=jnp.float32)[None]
             # row-parallel O reduce over tp (Stage::ATTN at chip scope)
             attn = cluster_reduce(attn.astype(x.dtype), "tp", Stage.ATTN)
@@ -149,14 +154,13 @@ def make_sp_sharded_decode_step(cfg: LlamaConfig, mesh: Mesh,
             layer, (x, residual, k_cache, v_cache), layer_idx)
         xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                       cfg.norm_eps)
-        logits = jnp.dot(xn[0], params["lm_head"],
-                         preferred_element_type=jnp.float32)
+        logits = model._lm_logits(xn[0], params["lm_head"])
         return logits, k_cache, v_cache               # logits vocab-sharded
 
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(param_pspecs(cfg, tp), cache_pspec_2d(), cache_pspec_2d(),
-                  P(), P()),
+        in_specs=(param_pspecs(cfg, tp, params), cache_pspec_2d(),
+                  cache_pspec_2d(), P(), P()),
         out_specs=(P("tp"), cache_pspec_2d(), cache_pspec_2d()),
         check_vma=False,
     )

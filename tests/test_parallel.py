@@ -548,3 +548,68 @@ print("GEMMA_SP_OK")
 """
     out = _run_cpu(code, timeout=1200)
     assert "GEMMA_SP_OK" in out
+
+
+def test_quantized_tp_and_sp_decode_matches_single_device():
+    """Quantized tensor-parallel / sequence-parallel decode (round 5):
+    QuantizedTensor params shard with QuantizedTensor-shaped spec nodes
+    (payload keeps the weight's spec; int8 per-output-channel scales
+    replicate over a sharded reduction axis, int4 group-scale rows shard
+    with it).  tp=2 and tp=2xsp=2 fused decode over int8 and int4 trees
+    must match the single-device quantized fused step."""
+    code = """
+import numpy as np
+import jax, jax.numpy as jnp
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.ops.quant import QuantizedTensor, quantize_llama_params
+from clusterfusion_tpu.parallel import (build_mesh, shard_params,
+                                        cache_shardings, cache_shardings_2d,
+                                        make_sharded_decode_step,
+                                        make_sp_sharded_decode_step)
+
+for kind in ("int8", "int4"):
+    cfg = LlamaConfig.tiny(max_seq_len=64, n_kv_heads=4, hidden_dim=512,
+                           ffn_dim=1024)
+    params = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+    params = quantize_llama_params(params, kind, 128, lm_head=True)
+    assert isinstance(params["layers"]["wqkv_f"], QuantizedTensor)
+    k_cache, v_cache = model.init_cache(cfg)
+    prompt = (jnp.arange(20, dtype=jnp.int32) * 3 + 1) % cfg.vocab_size
+    _, k_cache, v_cache = model.prefill(params, k_cache, v_cache, prompt, cfg)
+    tok = jnp.asarray(9, jnp.int32)
+    pos = jnp.asarray(20, jnp.int32)
+    ref_logits, _, _ = model.decode_step(params, k_cache, v_cache, tok, pos,
+                                         cfg, fused=True)
+
+    # tensor-parallel
+    mesh = build_mesh(MeshConfig(dp=1, tp=2, sp=1), devices=jax.devices()[:2])
+    sparams = shard_params(params, cfg, mesh)
+    kc = jax.device_put(k_cache, cache_shardings(mesh))
+    vc = jax.device_put(v_cache, cache_shardings(mesh))
+    step = make_sharded_decode_step(cfg, mesh, params=params)
+    logits, _, _ = step(sparams, kc, vc, tok, pos)
+    logits = logits.reshape(-1)[: cfg.vocab_size]
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               atol=0.06, rtol=0.03)
+    print(f"quant tp ok {kind}")
+
+    # tensor+sequence-parallel
+    mesh2 = build_mesh(MeshConfig(dp=1, tp=2, sp=2),
+                       devices=jax.devices()[:4])
+    sp2 = shard_params(params, cfg, mesh2)
+    kc2 = jax.device_put(k_cache, cache_shardings_2d(mesh2))
+    vc2 = jax.device_put(v_cache, cache_shardings_2d(mesh2))
+    step2 = make_sp_sharded_decode_step(cfg, mesh2, params=params)
+    logits2, _, _ = step2(sp2, kc2, vc2, tok, pos)
+    logits2 = logits2.reshape(-1)[: cfg.vocab_size]
+    np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               atol=0.06, rtol=0.03)
+    print(f"quant sp ok {kind}")
+print("QUANT_PARALLEL_OK")
+"""
+    out = _run_cpu(code, timeout=1800)
+    assert "QUANT_PARALLEL_OK" in out
+    assert "RACE DETECTED" not in out
