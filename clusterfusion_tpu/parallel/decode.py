@@ -193,7 +193,8 @@ def _make_fused_collective_decode_step(cfg: LlamaConfig, mesh: Mesh,
 
 
 def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
-                              kcfg: KernelConfig = KernelConfig()):
+                              kcfg: KernelConfig = KernelConfig(),
+                              params=None):
     """Tensor-parallel BATCHED serving step over an ICI mesh — the north
     star's "multi-chip sharding with continuous batching" (BASELINE.md):
     the ServingEngine's batched-matmul step (runtime.serving), with heads,
@@ -207,7 +208,10 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
     ``step(params, k_pool, v_pool, tokens, positions, table, seq_lens)
     -> (logits [B, vocab], k_pool', v_pool')``.  Pools are sharded
     ``P(None, "dcn", "tp")`` (pages over hosts, kv-heads over tp).
-    bf16 params only (quantized sharding: use the single-chip engine).
+    bf16 and int8 param trees supported (int8 dots apply scales after
+    the matmul — no materialized copies; pass ``params`` so the spec tree
+    matches).  int4 group scales cannot commute with XLA dots — int4
+    serving stays on the single-chip fused engine.
 
     Multi-host (north-star configs[4]): the batch axis (tokens, positions,
     block table, seq_lens) and the page pool are sharded over ``dcn`` — each
@@ -236,13 +240,20 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
         def idx(w, l):
             return jax.lax.dynamic_index_in_dim(w, l, 0, keepdims=False)
 
+        def idxq(w, l):
+            """Layer slice that also descends QuantizedTensor pytrees."""
+            return jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+                a, l, 0, keepdims=False), w)
+
         def layer(carry, l):
+            from clusterfusion_tpu.runtime.serving import (batched_ffn,
+                batched_o_dot, batched_qkv_dot)
             x, res, kp, vp = carry
             xn, res = fused_add_rmsnorm_ref(x, res, idx(lw["attn_norm"], l),
                                             cfg.norm_eps)
-            y = jnp.einsum("bd,Gdc->bGc", xn, idx(lw["wqkv_f"], l),
-                           preferred_element_type=jnp.float32
-                           ).astype(x.dtype)
+            # int8-aware batched dots (scale-after-dot — no materialized
+            # bf16 weight copies); bf16 trees take the plain einsum path
+            y = batched_qkv_dot(xn, idxq(lw["wqkv_f"], l))
             if "bqkv_f" in lw:                        # Qwen2 QKV bias
                 y = y + idx(lw["bqkv_f"], l)[None].astype(y.dtype)
             y = y.reshape(B, kv_local, (g + 2) * hd)
@@ -257,17 +268,15 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
                                         l, kcfg=kcfg,
                                         interpret=interpret_mode())
             G = lw["wo_f"].shape[1]
-            attn = jnp.einsum(
-                "bGc,Gco->bo",
+            attn = batched_o_dot(
                 o.reshape(B, G, (kv_local // G) * g * hd),
-                idx(lw["wo_f"], l),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                idxq(lw["wo_f"], l)).astype(x.dtype)
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
             xn2, res = fused_add_rmsnorm_ref(attn, res,
                                              idx(lw["ffn_norm"], l),
                                              cfg.norm_eps)
-            h = model._ffn(xn2, idx(lw["w13"], l), idx(lw["w2"], l),
-                           cfg.ffn_act)
+            h = batched_ffn(xn2, idxq(lw["w13"], l), idxq(lw["w2"], l),
+                            cfg.ffn_act)
             h = cluster_reduce(h, "tp", Stage.LINEAR)
             return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 
@@ -276,15 +285,14 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
             layer, (x, residual, k_pool, v_pool), layer_idx)
         xn, _ = fused_add_rmsnorm_ref(x, residual, params["final_norm"],
                                       cfg.norm_eps)
-        logits = jnp.dot(xn, params["lm_head"],
-                         preferred_element_type=jnp.float32)
+        logits = model._lm_logits(xn, params["lm_head"])
         return logits, k_pool, v_pool            # logits vocab-sharded
 
     pool_spec = P(None, "dcn", "tp")
     batch_spec = P("dcn")
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(param_pspecs(cfg, tp), pool_spec, pool_spec,
+        in_specs=(param_pspecs(cfg, tp, params), pool_spec, pool_spec,
                   batch_spec, batch_spec, batch_spec, batch_spec),
         out_specs=(P("dcn", "tp"), pool_spec, pool_spec),
         check_rep=False,

@@ -149,6 +149,68 @@ def _chosen_logprob(logits: jnp.ndarray, chosen: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(lw, chosen[:, None], axis=-1)[:, 0]
 
 
+# -- batched quant-aware projection helpers (shared by the batched serving
+# -- step and the tp/dcn-sharded serving step in parallel.decode) ------------
+
+
+def _rowq(x):
+    """Per-row symmetric int8 activation quantization."""
+    xa = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xa), axis=-1, keepdims=True),
+                     1e-8) * (1.0 / 127.0)
+    return jnp.round(xa / xs).astype(jnp.int8), xs
+
+
+def batched_qkv_dot(xn, w, w8a8: bool = False):
+    """[B,h] @ [G,h,c] -> [B,G,c]; int8 scales commute with the dot
+    (applied to the [B,G,c] result — int8 streams from HBM as int8,
+    no materialized bf16 copy)."""
+    if isinstance(w, QuantizedTensor) and w.kind == "int8":
+        if w8a8:
+            x8, xs = _rowq(xn)
+            y = jnp.einsum("bd,Gdc->bGc", x8, w.q,
+                           preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * xs[:, :, None]
+                    * w.s[:, 0, :]).astype(xn.dtype)
+        return (jnp.einsum("bd,Gdc->bGc", xn, w.q.astype(xn.dtype),
+                           preferred_element_type=jnp.float32)
+                * w.s[:, 0, :]).astype(xn.dtype)
+    return jnp.einsum("bd,Gdc->bGc", xn, maybe_dequantize(w, xn.dtype),
+                      preferred_element_type=jnp.float32).astype(xn.dtype)
+
+
+def batched_o_dot(o3, w, w8a8: bool = False):
+    """[B,G,c] @ [G,c,hidden] -> [B,hidden] with per-group int8 scales
+    applied before the cross-group sum."""
+    if isinstance(w, QuantizedTensor) and w.kind == "int8":
+        if w8a8:
+            x8, xs = _rowq(o3)
+            y = jnp.einsum("bGc,Gco->bGo", x8, w.q,
+                           preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * xs * w.s[:, 0, :]
+            return jnp.sum(y, axis=1)
+        y = jnp.einsum("bGc,Gco->bGo", o3, w.q.astype(o3.dtype),
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(y * w.s[:, 0, :], axis=1)
+    return jnp.einsum("bGc,Gco->bo", o3, maybe_dequantize(w, o3.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def batched_ffn(xn2, w13, w2, ffn_act: str, w8a8: bool = False):
+    """Gated FFN; W8A8 when int8-quantized (model._ffn otherwise)."""
+    if w8a8 and isinstance(w13, QuantizedTensor) and w13.kind == "int8":
+        x8, xs = _rowq(xn2)
+        y = jnp.einsum("bd,udf->buf", x8, w13.q,
+                       preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * w13.s[:, 0, :] * xs[:, :, None]
+        from clusterfusion_tpu.ops._support import glu_act
+        act = glu_act(y[:, 0], y[:, 1], ffn_act)
+        a8, as_ = _rowq(act)
+        z = jnp.dot(a8, w2.q, preferred_element_type=jnp.int32)
+        return (z.astype(jnp.float32) * w2.s * as_).astype(xn2.dtype)
+    return model._ffn(xn2, w13, w2, ffn_act)
+
+
 def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
                                block_table, seq_lens, key, temperatures,
                                top_ps, cfg: LlamaConfig, kcfg: KernelConfig,
@@ -199,60 +261,14 @@ def _paged_decode_step_batched(params, k_pool, v_pool, tokens, positions,
         return jax.tree.map(
             lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), w)
 
-    def rowq(x):
-        """Per-row symmetric int8 activation quantization."""
-        xa = x.astype(jnp.float32)
-        xs = jnp.maximum(jnp.max(jnp.abs(xa), axis=-1, keepdims=True),
-                         1e-8) * (1.0 / 127.0)
-        return jnp.round(xa / xs).astype(jnp.int8), xs
-
     def qkv_dot(xn, w):
-        """[B,h] @ [G,h,c] -> [B,G,c]; int8 scales commute with the dot
-        (applied to the [B,G,c] result — int8 streams from HBM as int8,
-        no materialized bf16 copy)."""
-        if isinstance(w, QuantizedTensor) and w.kind == "int8":
-            if w8a8:
-                x8, xs = rowq(xn)
-                y = jnp.einsum("bd,Gdc->bGc", x8, w.q,
-                               preferred_element_type=jnp.int32)
-                return (y.astype(jnp.float32) * xs[:, :, None]
-                        * w.s[:, 0, :]).astype(xn.dtype)
-            return (jnp.einsum("bd,Gdc->bGc", xn, w.q.astype(xn.dtype),
-                               preferred_element_type=jnp.float32)
-                    * w.s[:, 0, :]).astype(xn.dtype)
-        return jnp.einsum("bd,Gdc->bGc", xn, maybe_dequantize(w, xn.dtype),
-                          preferred_element_type=jnp.float32).astype(xn.dtype)
+        return batched_qkv_dot(xn, w, w8a8)
 
     def o_dot(o3, w):
-        """[B,G,c] @ [G,c,hidden] -> [B,hidden] with per-group int8 scales
-        applied before the cross-group sum."""
-        if isinstance(w, QuantizedTensor) and w.kind == "int8":
-            if w8a8:
-                x8, xs = rowq(o3)
-                y = jnp.einsum("bGc,Gco->bGo", x8, w.q,
-                               preferred_element_type=jnp.int32)
-                y = y.astype(jnp.float32) * xs * w.s[:, 0, :]
-                return jnp.sum(y, axis=1)
-            y = jnp.einsum("bGc,Gco->bGo", o3, w.q.astype(o3.dtype),
-                           preferred_element_type=jnp.float32)
-            return jnp.sum(y * w.s[:, 0, :], axis=1)
-        return jnp.einsum("bGc,Gco->bo", o3, maybe_dequantize(w, o3.dtype),
-                          preferred_element_type=jnp.float32)
+        return batched_o_dot(o3, w, w8a8)
 
     def ffn(xn2, w13, w2):
-        """SwiGLU; W8A8 when int8-quantized (model._ffn otherwise)."""
-        if (w8a8 and isinstance(w13, QuantizedTensor)
-                and w13.kind == "int8"):
-            x8, xs = rowq(xn2)
-            y = jnp.einsum("bd,udf->buf", x8, w13.q,
-                           preferred_element_type=jnp.int32)
-            y = y.astype(jnp.float32) * w13.s[:, 0, :] * xs[:, :, None]
-            from clusterfusion_tpu.ops._support import glu_act
-            act = glu_act(y[:, 0], y[:, 1], cfg.ffn_act)
-            a8, as_ = rowq(act)
-            z = jnp.dot(a8, w2.q, preferred_element_type=jnp.int32)
-            return (z.astype(jnp.float32) * w2.s * as_).astype(xn2.dtype)
-        return model._ffn(xn2, w13, w2, cfg.ffn_act)
+        return batched_ffn(xn2, w13, w2, cfg.ffn_act, w8a8)
 
     def layer_body(x, res, l, kp, vp, table, pool_l, window, pattern):
         """One decoder layer: ``l`` indexes the weight stacks, ``pool_l``

@@ -613,3 +613,59 @@ print("QUANT_PARALLEL_OK")
     out = _run_cpu(code, timeout=1800)
     assert "QUANT_PARALLEL_OK" in out
     assert "RACE DETECTED" not in out
+
+
+def test_sharded_serving_step_int8_matches_single_device():
+    """tp-sharded batched serving over an INT8 tree (round 5): the
+    scale-after-dot einsums shard like bf16 (int8 per-output-channel
+    scales replicate over the sharded reduction axis), so multi-chip
+    continuous batching runs quantized without materialized copies.
+
+    Reference: the same step over the DEQUANTIZED bf16 tree on the same
+    mesh (the unsharded CPU jit of the int8 step hits CPU XLA's missing
+    bf16xbf16->f32 DotThunk; the chip path has no such limitation)."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from clusterfusion_tpu.config import LlamaConfig, MeshConfig, KernelConfig
+from clusterfusion_tpu.models import llama as model
+from clusterfusion_tpu.ops.quant import (QuantizedTensor,
+                                         maybe_dequantize,
+                                         quantize_llama_params)
+from clusterfusion_tpu.parallel import build_mesh, shard_params
+from clusterfusion_tpu.parallel.decode import make_sharded_serving_step
+
+cfg = LlamaConfig.tiny(max_seq_len=64)
+params0 = model.init_params(cfg, jax.random.PRNGKey(0), head_group=1)
+qparams = quantize_llama_params(params0, "int8")
+dparams = jax.tree.map(
+    lambda w: maybe_dequantize(w) if isinstance(w, QuantizedTensor) else w,
+    qparams, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+B, page, P_, num_pages, L = 2, 8, 4, 16, cfg.n_layers
+rng = np.random.RandomState(0)
+shape = (L, num_pages, cfg.kv_heads, page, cfg.head_dim_)
+kp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+vp = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+table = jnp.asarray(np.arange(1, 1 + B * P_).reshape(B, P_), jnp.int32)
+lens = jnp.asarray([11, 5], jnp.int32)
+toks = jnp.asarray([3, 9], jnp.int32)
+
+mesh = build_mesh(MeshConfig(dp=1, tp=4, sp=2), devices=jax.devices()[:8])
+pool_sh = NamedSharding(mesh, P(None, None, "tp"))
+kps = jax.device_put(kp, pool_sh)
+vps = jax.device_put(vp, pool_sh)
+
+logits_q, _, _ = make_sharded_serving_step(cfg, mesh, params=qparams)(
+    shard_params(qparams, cfg, mesh), kps, vps, toks, lens, table, lens)
+logits_d, _, _ = make_sharded_serving_step(cfg, mesh)(
+    shard_params(dparams, cfg, mesh),
+    jax.device_put(kp, pool_sh), jax.device_put(vp, pool_sh),
+    toks, lens, table, lens)
+a = np.asarray(logits_q, np.float32)
+b = np.asarray(logits_d, np.float32)
+scale = max(float(np.max(np.abs(b))), 1.0)
+assert np.max(np.abs(a - b)) < 0.03 * scale, np.max(np.abs(a - b))
+print("SHARDED_SERVING_INT8_OK")
+"""
+    out = _run_cpu(code)
+    assert "SHARDED_SERVING_INT8_OK" in out
