@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from clusterfusion_tpu.ops.quant import QuantizedTensor, maybe_dequantize
+
 
 def route_top_k(x, router_w, top_k: int, *, norm_topk_prob: bool = True,
                 routed_scaling_factor: float = 1.0):
@@ -54,10 +56,31 @@ def route_top_k(x, router_w, top_k: int, *, norm_topk_prob: bool = True,
 
 
 def _swiglu(x, w13, w2):
+    """Per-expert SwiGLU; int8 QuantizedTensor experts stream as int8 with
+    scale-after-dot (no materialized copies — the decode formulation's
+    whole point is minimum HBM bytes); int4 falls back to tile dequant of
+    the ONE gathered expert (still k experts' bytes, not E's)."""
+    if isinstance(w13, QuantizedTensor) and w13.kind == "int8":
+        y = jnp.einsum("...d,udf->...uf", x, w13.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32) \
+            * w13.s[:, 0, :]
+        act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
+        return jnp.dot(act, w2.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32) * w2.s
+    w13 = maybe_dequantize(w13, x.dtype).astype(x.dtype)
+    w2 = maybe_dequantize(w2, x.dtype).astype(x.dtype)
     y = jnp.einsum("...d,udf->...uf", x, w13,
                    preferred_element_type=jnp.float32)
     act = (jax.nn.silu(y[..., 0, :]) * y[..., 1, :]).astype(x.dtype)
     return jnp.dot(act, w2, preferred_element_type=jnp.float32)
+
+
+def _expert(w_all, e):
+    """Expert slice that also descends QuantizedTensor pytrees (q and s
+    both carry the leading expert axis)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False),
+        w_all)
 
 
 def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2, *,
@@ -71,10 +94,8 @@ def moe_ffn_decode(x, router_w, w13_all, w2_all, top_k: int = 2, *,
     out = jnp.zeros((1, x.shape[-1]), jnp.float32)
     for i in range(top_k):
         e = sel[0, i]
-        w13 = jax.lax.dynamic_index_in_dim(w13_all, e, 0, keepdims=False)
-        w2 = jax.lax.dynamic_index_in_dim(w2_all, e, 0, keepdims=False)
-        out = out + gates[0, e] * _swiglu(x, w13.astype(x.dtype),
-                                          w2.astype(x.dtype))
+        out = out + gates[0, e] * _swiglu(x, _expert(w13_all, e),
+                                          _expert(w2_all, e))
     return out.astype(x.dtype)
 
 
@@ -89,7 +110,7 @@ def moe_ffn_dense(x, router_w, w13_all, w2_all, top_k: int = 2, *,
                            routed_scaling_factor=routed_scaling_factor)
     def body(acc, ew):
         w13, w2, g = ew                                    # g [T]
-        y = _swiglu(x, w13.astype(x.dtype), w2.astype(x.dtype))   # [T, h]
+        y = _swiglu(x, w13, w2)                            # [T, h]
         return acc + g[:, None] * y, None
     acc = jnp.zeros(x.shape, jnp.float32)
     acc, _ = jax.lax.scan(body, acc, (w13_all, w2_all, gates.T))

@@ -363,22 +363,26 @@ _WEIGHT_AXES = {"wqkv_f": (-2, -2), "wo_f": (-2, -2),
                 "wproj": (-2, -2),   # [L, hidden, n_proj]
                 "wuk": (-2, -2),     # [L, h, nope, lora]
                 "wuv": (-2, -2),     # [L, h, lora, nope]
-                "wo_t": (-2, -2)}    # [L, h*nope, hidden]
+                "wo_t": (-2, -2),    # [L, h*nope, hidden]
+                # routed-expert stacks (ops.moe gathered formulation)
+                "w13_e": (-2, -2),   # [L, E, 2, hidden, f]
+                "w2_e": (-2, -2)}    # [L, E, f, hidden]
 
 
 def quantize_deepseek_params(params, kind: str = "int8",
                              group_size: int = 128, lm_head: bool = False):
     """Weight-only quantization of a DeepSeek MLA param tree: the four
     attention projections (wproj/wuk/wuv/wo_t — the reference's five GEMVs,
-    `deepseek/kernel.cuh:128-288`, fused here as proj+absorb+expand+O) and
-    the dense/shared-expert FFN (w13/w2).  Routed-expert stacks (w13_e /
-    w2_e) stay bf16 — the decode-path expert gather already streams only
-    top-k experts, and per-expert group scales would need their own gather
-    plumbing for ~2 experts' worth of bytes.  norms / embed stay bf16."""
-    return quantize_llama_params(
-        params, kind, group_size,
-        targets=("wproj", "wuk", "wuv", "wo_t", "w13", "w2"),
-        lm_head=lm_head)
+    `deepseek/kernel.cuh:128-288`, fused here as proj+absorb+expand+O), the
+    dense/shared-expert FFN (w13/w2), and — when present — the
+    routed-expert stacks (w13_e/w2_e: int8 streams per-expert with
+    scale-after-dot in ops.moe; int4 dequantizes only the gathered top-k
+    experts).  The router and norms / embed stay bf16."""
+    targets = ["wproj", "wuk", "wuv", "wo_t", "w13", "w2"]
+    if "w13_e" in params["layers"]:
+        targets += ["w13_e", "w2_e"]
+    return quantize_llama_params(params, kind, group_size,
+                                 targets=tuple(targets), lm_head=lm_head)
 
 
 def quantize_llama_params(params, kind: str = "int8", group_size: int = 128,

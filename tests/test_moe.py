@@ -83,3 +83,57 @@ def test_deepseek_moe_generate():
     out = model.generate_greedy(params, MOE_CFG, [1, 2, 3], n_gen=4)
     assert len(out) == 4 and all(0 <= t < MOE_CFG.vocab_size for t in out)
     assert out == model.generate_greedy(params, MOE_CFG, [1, 2, 3], n_gen=4)
+
+
+@pytest.mark.parametrize("kind", ["int8", "int4"])
+def test_moe_quantized_matches_dequantized(kind):
+    """Quantized routed experts (round 5): int8 streams per-expert with
+    scale-after-dot, int4 dequantizes only the gathered top-k experts.
+    Both formulations must match running the dequantized bf16 experts."""
+    from clusterfusion_tpu.ops.quant import quantize
+
+    rng = jax.random.PRNGKey(7)
+    ks = jax.random.split(rng, 4)
+    router = jax.random.normal(ks[0], (H, E), jnp.bfloat16) * 0.1
+    w13 = jax.random.normal(ks[1], (E, 2, H, F), jnp.bfloat16) * 0.05
+    w2 = jax.random.normal(ks[2], (E, F, H), jnp.bfloat16) * 0.05
+    q13 = quantize(w13, kind, -2, 128, -2)
+    q2 = quantize(w2, kind, -2, 128, -2)
+    d13 = q13.dequantize(jnp.bfloat16)
+    d2 = q2.dequantize(jnp.bfloat16)
+
+    x1 = jax.random.normal(ks[3], (1, H), jnp.bfloat16)
+    oq = moe_ffn_decode(x1, router, q13, q2, 2)
+    od = moe_ffn_decode(x1, router, d13, d2, 2)
+    np.testing.assert_allclose(np.asarray(oq, np.float32),
+                               np.asarray(od, np.float32),
+                               atol=0.03, rtol=0.05)
+
+    xt = jax.random.normal(jax.random.PRNGKey(9), (5, H), jnp.bfloat16)
+    oqd = moe_ffn_dense(xt, router, q13, q2, 2)
+    odd = moe_ffn_dense(xt, router, d13, d2, 2)
+    np.testing.assert_allclose(np.asarray(oqd, np.float32),
+                               np.asarray(odd, np.float32),
+                               atol=0.03, rtol=0.05)
+
+
+def test_deepseek_moe_model_quantized_decode():
+    """End-to-end DeepSeek MoE model with a fully quantized tree (MLA
+    projections + dense FFN + routed experts): fused decode matches the
+    eager oracle on the same int8 tree."""
+    from clusterfusion_tpu.ops.quant import (QuantizedTensor,
+                                             quantize_deepseek_params)
+
+    cfg = DeepSeekConfig.tiny(n_experts=4, moe_ffn_dim=128, ffn_dim=512)
+    params = model.init_params(cfg, jax.random.PRNGKey(3))
+    qparams = quantize_deepseek_params(params, "int8")
+    assert isinstance(qparams["layers"]["w13_e"], QuantizedTensor)
+    cache = model.init_cache(cfg)
+    toks = jnp.asarray([5, 17, 42, 9], jnp.int32)
+    logits, cache = model.prefill(qparams, cache, toks, cfg)
+    tok = jnp.asarray(7, jnp.int32)
+    pos = jnp.asarray(4, jnp.int32)
+    lf, _ = model.decode_step(qparams, cache, tok, pos, cfg, fused=True)
+    le, _ = model.decode_step(qparams, cache, tok, pos, cfg, fused=False)
+    scale = max(float(jnp.max(jnp.abs(le))), 1.0)
+    assert float(jnp.max(jnp.abs(lf - le))) < 0.05 * scale
