@@ -69,8 +69,17 @@ def verify_step(params: LlamaParams, k_cache, v_cache, tokens: jnp.ndarray,
     fused=False → the eager oracle: the multi-token sibling of
     ``_decode_step_impl`` fused=False — same math per row, n rows wide.
     Either way the n·cap attention masks by position, so ``pos`` stays
-    dynamic — no per-position recompiles."""
+    dynamic — no per-position recompiles.
+
+    Sub-128 head dims (TinyLlama / Qwen2-0.5B) auto-fall back to the
+    eager verify: the n-row megakernel's o-flattening and append-RMW
+    DMAs hit Mosaic's (8, 128) tiling limits at hd=64 (the single-token
+    stack kernel handles them via defer_append; the verify twin keeps
+    the simpler hd >= 128 contract — spec decode for tiny models scores
+    drafts eagerly, which is still one forward per round)."""
     n = tokens.shape[0]
+    if cfg.head_dim_ % 128 != 0:
+        fused = False
     g = cfg.n_heads // cfg.kv_heads
     hd, kv = cfg.head_dim_, cfg.kv_heads
     cos_t, sin_t = rope_table(cfg)

@@ -138,3 +138,22 @@ def test_hd64_serving_matches_single_seq():
     out = eng.run()
     for rid, p in prompts.items():
         assert out[rid] == ref_greedy(p, 4), rid
+
+
+def test_hd64_spec_verify_falls_back_to_eager():
+    """Speculative verify at hd=64 auto-falls back to the eager scorer
+    (the n-row verify megakernel keeps the hd>=128 contract) and still
+    produces greedy-exact verification against decode_step."""
+    from clusterfusion_tpu.models import speculative as spec
+
+    params, kc, vc, pos_i = _setup(None, jnp.bfloat16, seed=8)
+    draft = (jnp.arange(4, dtype=jnp.int32) * 3 + 2) % CFG.vocab_size
+    pos = jnp.asarray(pos_i, jnp.int32)
+    lv, kv2, vv2 = spec.verify_step(params, kc, vc, draft, pos, CFG,
+                                    fused=True)   # auto-eager at hd=64
+    # row 0 must equal the single-token decode logits at the same state
+    l0, _, _ = model.decode_step(params, kc, vc, draft[0], pos, CFG,
+                                 fused=False)
+    np.testing.assert_allclose(np.asarray(lv[0], np.float32),
+                               np.asarray(l0, np.float32),
+                               atol=0.03, rtol=0.02)
