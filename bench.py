@@ -587,6 +587,7 @@ class _Stream:
         "serving_int8_b8_tokens_per_s",
         "serving_fused_int8_b8_tokens_per_s",
         "serving_int8_fp8kv_b4_4kctx_tokens_per_s",
+        "serving_int8_b16_tokens_per_s",
         "serving_mistral7b_int4_fp8kv_win4k_b4_8kctx_tokens_per_s",
         "int8_int8kv_tokens_per_s", "int4_int8kv_tokens_per_s",
         "int8_int8kv_4kctx_tokens_per_s",
@@ -735,6 +736,9 @@ def main():
                       lambda: _time_serving(qp8, cfg, B=4,
                                             kv_dtype=jnp.float8_e4m3fn,
                                             ctx=4096), nd=1, cost_s=240)
+                S.run("serving_int8_b16_tokens_per_s",
+                      lambda: _time_serving(qp8, cfg, B=16), nd=1,
+                      cost_s=200)
             del qp8
             _drain_hbm()
 
