@@ -333,3 +333,38 @@ def test_gemma2_query_pre_attn_scalar_fold(tmp_path):
     np.testing.assert_allclose(
         np.asarray(trees["eq"]["layers"]["wo_f"], np.float32),
         np.asarray(trees["gemma27b_like"]["layers"]["wo_f"], np.float32))
+
+
+def test_gemma_evenwin_serving_int8():
+    """Split-pool rolling-buffer serving over an INT8 gemma tree: the
+    batched_evenwin step's scale-after-dot projections compose with the
+    pair-scan pools (greedy parity vs the single-seq quantized oracle)."""
+    from clusterfusion_tpu.ops.quant import quantize_llama_params
+    from clusterfusion_tpu.runtime.serving import ServingEngine
+    import dataclasses
+    cfg = dataclasses.replace(GCFG, max_seq_len=64, sliding_window=16,
+                              n_layers=2)
+    params = quantize_llama_params(_params(cfg, seed=11), "int8")
+    eng = ServingEngine(params, cfg, page_size=8, num_pages=32, max_batch=2)
+    assert eng.step_impl == "batched_evenwin"
+    prompts = {0: list(range(1, 26)), 1: [4, 9, 2, 7]}
+    for rid, p in prompts.items():
+        eng.submit(rid, p, max_gen_len=4, temperature=0.0)
+    out = eng.run()
+    # tie-robust: every served token must be a near-argmax choice of the
+    # single-seq quantized oracle given the SAME prefix (cross-impl int8
+    # rounding can flip exact ties on random weights)
+    for rid, prompt in prompts.items():
+        kc, vc = model.init_cache(cfg)
+        logits, kc, vc = model.prefill(params, kc, vc,
+                                       jnp.asarray(prompt, jnp.int32), cfg)
+        lg = logits[len(prompt) - 1]
+        pos = len(prompt)
+        for i, tok in enumerate(out[rid]):
+            gap = float(jnp.max(lg) - lg[tok])
+            scale = max(float(jnp.max(jnp.abs(lg))), 1.0)
+            assert gap < 0.02 * scale, (rid, i, tok, gap)
+            lg, kc, vc = model.decode_step(
+                params, kc, vc, jnp.asarray(tok, jnp.int32),
+                jnp.asarray(pos, jnp.int32), cfg, fused=True)
+            pos += 1
