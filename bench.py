@@ -213,19 +213,23 @@ def _layer_us_by_depth(cfg, kind: str, kv_dtype, seq: int, n_gen: int,
         state = {"tok": tok, "pos": n_full, "kc": k_cache, "vc": v_cache}
 
         def run(n):
+            # Every run restarts from the same post-prefill state: the
+            # decode loop is functional, so repeats are identical work for
+            # timing, and pos stays within cache capacity no matter how
+            # many repetitions run (advancing state across repeats walked
+            # pos past max_seq_len, timing out-of-contract decode steps).
             t0 = time.perf_counter()
             toks, kc, vc = model.decode_loop(
                 qparams, state["kc"], state["vc"], state["tok"],
                 jnp.asarray(state["pos"], jnp.int32), cfgL, fused=fused,
                 n_steps=n)
             _fetch(toks[-1])
-            state.update(tok=toks[-1], pos=state["pos"] + n, kc=kc, vc=vc)
             return time.perf_counter() - t0
 
         n1 = max(n_gen // 4, 8)
-        run(n1), run(2 * n1)
-        t1 = min(run(n1) for _ in range(3))
-        t2 = min(run(2 * n1) for _ in range(3))
+        run(n1), run(2 * n1)                    # compile + warm both shapes
+        t1 = min(run(n1) for _ in range(2))
+        t2 = min(run(2 * n1) for _ in range(2))
         return max(t2 - t1, 1e-6) / n1
 
     per_tok = {}
@@ -678,32 +682,6 @@ def main():
         del qp4
         _drain_hbm()
 
-        # ---- north-star per-layer latency ratios at the QUANTIZED operating
-        # points (BASELINE.json: "per-layer latency ratio at INT8 with FP8
-        # KV-cache"); depth-differential methodology, 4K live context
-        if not small and S.gate("quantized layer ratios", 420):
-            try:
-                f_us, e_us = _layer_us_by_depth(cfg, "int8", jnp.float8_e4m3fn,
-                                                seq=4096, n_gen=n_gen)
-                S.note(f"layer int8+fp8kv fused={f_us:.1f}us eager={e_us:.1f}us"
-                       f" ratio={e_us / f_us:.3f}")
-                S.put("layer_int8_fp8kv_fused_us", f_us, nd=1)
-                S.put("layer_int8_fp8kv_eager_us", e_us, nd=1)
-            except Exception as e:  # pragma: no cover
-                S.note(f"layer int8+fp8kv ratio FAILED: {e!r}")
-            _drain_hbm()
-            if S.gate("int4+int8kv layer ratio", 360):
-                try:
-                    f_us, e_us = _layer_us_by_depth(cfg, "int4", "int8",
-                                                    seq=4096, n_gen=n_gen)
-                    S.note(f"layer int4+int8kv fused={f_us:.1f}us "
-                           f"eager={e_us:.1f}us ratio={e_us / f_us:.3f}")
-                    S.put("layer_int4_int8kv_fused_us", f_us, nd=1)
-                    S.put("layer_int4_int8kv_eager_us", e_us, nd=1)
-                except Exception as e:  # pragma: no cover
-                    S.note(f"layer int4+int8kv ratio FAILED: {e!r}")
-                _drain_hbm()
-
         # ---- int8 weight block (+ serving tail while the weights are live)
         if S.gate("int8 block", 300) or small:
             qp8 = _synth_quant_params(cfg, "int8")
@@ -741,6 +719,37 @@ def main():
                       cost_s=200)
             del qp8
             _drain_hbm()
+
+        # ---- north-star per-layer latency ratios at the QUANTIZED operating
+        # points (BASELINE.json: "per-layer latency ratio at INT8 with FP8
+        # KV-cache"); depth-differential methodology, 4K live context.
+        # Ordered AFTER the int8 + serving block: these two ratio pairs cost
+        # ~400s each (small-L prefill/decode compile variants), and when the
+        # budget is tight the serving/int8 summary keys are worth more than
+        # a second ratio pair (the r5 full run measured the ratio blocks
+        # first and the budget gate then skipped everything behind them).
+        if not small and S.gate("quantized layer ratios", 420):
+            try:
+                f_us, e_us = _layer_us_by_depth(cfg, "int8", jnp.float8_e4m3fn,
+                                                seq=4096, n_gen=n_gen)
+                S.note(f"layer int8+fp8kv fused={f_us:.1f}us eager={e_us:.1f}us"
+                       f" ratio={e_us / f_us:.3f}")
+                S.put("layer_int8_fp8kv_fused_us", f_us, nd=1)
+                S.put("layer_int8_fp8kv_eager_us", e_us, nd=1)
+            except Exception as e:  # pragma: no cover
+                S.note(f"layer int8+fp8kv ratio FAILED: {e!r}")
+            _drain_hbm()
+            if S.gate("int4+int8kv layer ratio", 360):
+                try:
+                    f_us, e_us = _layer_us_by_depth(cfg, "int4", "int8",
+                                                    seq=4096, n_gen=n_gen)
+                    S.note(f"layer int4+int8kv fused={f_us:.1f}us "
+                           f"eager={e_us:.1f}us ratio={e_us / f_us:.3f}")
+                    S.put("layer_int4_int8kv_fused_us", f_us, nd=1)
+                    S.put("layer_int4_int8kv_eager_us", e_us, nd=1)
+                except Exception as e:  # pragma: no cover
+                    S.note(f"layer int4+int8kv ratio FAILED: {e!r}")
+                _drain_hbm()
 
         # ---- bf16 per-layer latency (lone-layer chain, continuity with
         # rounds 1-4; structurally HBM-bound at bf16 — see README roofline)

@@ -170,6 +170,29 @@ def _load_hf_state(model_dir: str) -> Dict[str, np.ndarray]:
     return state
 
 
+def _hf_window(hc: dict) -> int:
+    """Token window from an HF llama-family config dict (0 = full ctx).
+
+    Honors ``use_sliding_window`` (Qwen2/2.5 ship sliding_window=131072
+    with the flag false) and ``max_window_layers`` (HF windows only layers
+    >= max_window_layers).  max_window_layers >= n_layers therefore means
+    no layer is windowed; a strictly mixed stack has no matching
+    window_pattern in the kernels ("all"/"even") and is rejected."""
+    win = hc.get("sliding_window") or 0
+    if not win or not hc.get("use_sliding_window", True):
+        return 0
+    mwl = hc.get("max_window_layers", 0) or 0
+    if mwl >= hc["num_hidden_layers"]:
+        return 0                       # every layer keeps full attention
+    if mwl > 0:
+        raise NotImplementedError(
+            f"use_sliding_window with 0 < max_window_layers={mwl} < "
+            f"num_hidden_layers={hc['num_hidden_layers']} needs a "
+            f"first-{mwl}-layers-full window pattern; the kernels support "
+            f"window_pattern 'all' and 'even' only")
+    return int(win)
+
+
 def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
                        dtype=jnp.bfloat16, head_group=None,
                        quant=None) -> Tuple[LlamaParams, LlamaConfig]:
@@ -211,9 +234,13 @@ def load_hf_checkpoint(model_dir: str, max_seq_len: int = 2048,
         # Qwen2/2.5 ship sliding_window=131072 with use_sliding_window=false
         # — the window must stay OFF there (advisor r4) or a full-context
         # model gets windowed kernels, rolling-buffer serving, and a
-        # spurious sp-decode error.
-        sliding_window=((hc.get("sliding_window") or 0)
-                        if hc.get("use_sliding_window", True) else 0),
+        # spurious sp-decode error.  When use_sliding_window IS true, HF
+        # semantics window only layers >= max_window_layers (the first
+        # max_window_layers layers keep full attention): handled exactly
+        # for the two degenerate cases (all layers windowed / none), and
+        # rejected for a genuine mixed stack — the kernels implement
+        # window_pattern "all"/"even", not "first-N-full".
+        sliding_window=_hf_window(hc),
         # gemma-2: interleaved local/global attention, GeGLU, sandwich
         # norms, logit softcaps
         window_pattern="even" if gemma2 else "all",

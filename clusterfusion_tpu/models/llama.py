@@ -269,16 +269,8 @@ def _prefix_rows(cache_l, pos0: int):
 def _cache_fill(cache, rows, pos0: int):
     """Write [L, kv, T, hd] freshly-computed rows at positions
     pos0..pos0+T-1 (quantizing per row for Int8KV)."""
-    if isinstance(cache, Int8KV):
-        q8, s = quantize_kv_rows(rows)                 # s [L, kv, T]
-        qc = jax.lax.dynamic_update_slice(cache.q, q8, (0, 0, pos0, 0))
-        L, H, R, _ = cache.s.shape
-        sflat = jax.lax.dynamic_update_slice(
-            cache.s.reshape(L, H, R * 128), s.astype(cache.s.dtype),
-            (0, 0, pos0))
-        return Int8KV(qc, sflat.reshape(L, H, R, 128))
-    return jax.lax.dynamic_update_slice(
-        cache, rows.astype(cache.dtype), (0, 0, pos0, 0))
+    from clusterfusion_tpu.ops.quant import cache_fill_rows
+    return cache_fill_rows(cache, rows, pos0)
 
 
 # --------------------------------------------------------------------------

@@ -89,6 +89,25 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s
 
 
+def cache_fill_rows(cache, rows, pos0):
+    """Write ``[L, kv, T, hd]`` freshly-computed KV rows at positions
+    pos0..pos0+T-1 of a stacked cache — bf16/fp8 by dtype cast, Int8KV by
+    per-row quantization with the scale landing in the [L, H, R, 128]
+    plane at ``[l, h, p // 128, p % 128]``.  The single owner of the
+    Int8KV scale-plane write layout (used by both the model-level prefill/
+    eager append and the stack megakernel's deferred hd<128 append)."""
+    if isinstance(cache, Int8KV):
+        q8, s = quantize_kv_rows(rows)                 # s [L, kv, T]
+        qc = jax.lax.dynamic_update_slice(cache.q, q8, (0, 0, pos0, 0))
+        L, H, R, _ = cache.s.shape
+        sflat = jax.lax.dynamic_update_slice(
+            cache.s.reshape(L, H, R * 128), s.astype(cache.s.dtype),
+            (0, 0, pos0))
+        return Int8KV(qc, sflat.reshape(L, H, R, 128))
+    return jax.lax.dynamic_update_slice(
+        cache, rows.astype(cache.dtype), (0, 0, pos0, 0))
+
+
 # ---- FP8 (e4m3) KV fast decode -------------------------------------------
 #
 # v5e has no fp8 ALU: XLA's e4m3->bf16 `convert` lowers to a long software

@@ -904,27 +904,13 @@ def fused_decoder_stack(
     if defer:
         # whole-stack XLA append of the new rows (position `pos`) — ONE
         # dynamic-update per token on the (donated) caches; the in-scan
-        # carry keeps it in place.  Mirrors models.llama._cache_fill.
+        # carry keeps it in place.
+        from clusterfusion_tpu.ops.quant import cache_fill_rows
         *head, k_new, v_new = results
-        rows_k = k_new.reshape(L_, kv_heads, 1, hd)
-        rows_v = v_new.reshape(L_, kv_heads, 1, hd)
-
-        def fill(cache, rows_):
-            if isinstance(cache, Int8KV):
-                from clusterfusion_tpu.ops.quant import quantize_kv_rows
-                q8, s = quantize_kv_rows(rows_)
-                qc = jax.lax.dynamic_update_slice(cache.q, q8,
-                                                  (0, 0, pos, 0))
-                Lq, H, R, _ = cache.s.shape
-                sflat = jax.lax.dynamic_update_slice(
-                    cache.s.reshape(Lq, H, R * 128),
-                    s.astype(cache.s.dtype), (0, 0, pos))
-                return Int8KV(qc, sflat.reshape(Lq, H, R, 128))
-            return jax.lax.dynamic_update_slice(
-                cache, rows_.astype(cache.dtype), (0, 0, pos, 0))
-
-        kc = fill(k_cache, rows_k)
-        vc = fill(v_cache, rows_v)
+        kc = cache_fill_rows(k_cache, k_new.reshape(L_, kv_heads, 1, hd),
+                             pos)
+        vc = cache_fill_rows(v_cache, v_new.reshape(L_, kv_heads, 1, hd),
+                             pos)
     elif kv8:
         *head, kc, vc, ks, vs = results
         kc, vc = Int8KV(kc, ks), Int8KV(vc, vs)

@@ -226,6 +226,16 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
     kv_local = cfg.kv_heads // tp
     g = cfg.n_heads // cfg.kv_heads
     hd = cfg.head_dim_
+    if hd % 128 != 0:
+        # Same Mosaic constraint ServingEngine reroutes around: the batched
+        # paged_attention gathers pages with DMAs that slice the pool's
+        # head (minor) dim, illegal under (8, 128) tiling for sub-128 head
+        # dims.  The sharded step has no fused fallback — fail clearly
+        # instead of an opaque Mosaic compile error.
+        raise ValueError(
+            f"make_sharded_serving_step requires head_dim % 128 == 0 "
+            f"(got {hd}); sub-128 head-dim models (TinyLlama, Qwen2-0.5B) "
+            f"are served single-chip via ServingEngine(step_impl='fused')")
 
     def local_step(params, k_pool, v_pool, tokens, positions, table,
                    seq_lens):
@@ -253,7 +263,8 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
                                             cfg.norm_eps)
             # int8-aware batched dots (scale-after-dot — no materialized
             # bf16 weight copies); bf16 trees take the plain einsum path
-            y = batched_qkv_dot(xn, idxq(lw["wqkv_f"], l))
+            y = batched_qkv_dot(xn, idxq(lw["wqkv_f"], l),
+                                w8a8=kcfg.serving_w8a8)
             if "bqkv_f" in lw:                        # Qwen2 QKV bias
                 y = y + idx(lw["bqkv_f"], l)[None].astype(y.dtype)
             y = y.reshape(B, kv_local, (g + 2) * hd)
@@ -270,13 +281,14 @@ def make_sharded_serving_step(cfg: LlamaConfig, mesh: Mesh,
             G = lw["wo_f"].shape[1]
             attn = batched_o_dot(
                 o.reshape(B, G, (kv_local // G) * g * hd),
-                idxq(lw["wo_f"], l)).astype(x.dtype)
+                idxq(lw["wo_f"], l),
+                w8a8=kcfg.serving_w8a8).astype(x.dtype)
             attn = cluster_reduce(attn, "tp", Stage.ATTN)
             xn2, res = fused_add_rmsnorm_ref(attn, res,
                                              idx(lw["ffn_norm"], l),
                                              cfg.norm_eps)
             h = batched_ffn(xn2, idxq(lw["w13"], l), idxq(lw["w2"], l),
-                            cfg.ffn_act)
+                            cfg.ffn_act, w8a8=kcfg.serving_w8a8)
             h = cluster_reduce(h, "tp", Stage.LINEAR)
             return (h.astype(x.dtype), res.astype(x.dtype), kp, vp), None
 

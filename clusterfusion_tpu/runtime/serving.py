@@ -731,13 +731,15 @@ class ServingEngine:
             # below-window entries stay NULL (never walked — the kernel's
             # window clamp starts at the first in-window page)
             wp, W = self.window_pages, self.cfg.sliding_window
+            base = 1 + np.array([self._slot_of[int(i)] for i in ids[:B]],
+                                np.int32) * wp
+            j_lo = np.maximum(0, (poss[:B].astype(np.int64) + 1 - W)
+                              // self.page_size)
+            j_hi = np.minimum(w, lens[:B] // self.page_size + 1)
+            j = np.arange(w, dtype=np.int64)[None, :]
+            live = (j >= j_lo[:, None]) & (j < j_hi[:, None])
             table_l = np.zeros((mb, w), np.int32)
-            for b in range(B):
-                base = 1 + self._slot_of[int(ids[b])] * wp
-                j_lo = max(0, (int(poss[b]) + 1 - W) // self.page_size)
-                j_hi = min(w, int(lens[b]) // self.page_size + 1)
-                for j in range(j_lo, j_hi):
-                    table_l[b, j] = base + (j % wp)
+            table_l[:B] = np.where(live, base[:, None] + (j % wp), 0)
             (nxt, lp, self.k_pool, self.v_pool, self.k_pool_loc,
              self.v_pool_loc) = self._step(
                 self.params, self.k_pool, self.v_pool,

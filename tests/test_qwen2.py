@@ -218,3 +218,24 @@ def test_qwen2_hf_loader_use_sliding_window_gate(tmp_path):
         params, cfg = load_hf_checkpoint(str(d), max_seq_len=128)
         assert cfg.sliding_window == want, (name, cfg.sliding_window)
         assert cfg.qkv_bias and "bqkv_f" in params["layers"]
+
+
+def test_hf_window_max_window_layers():
+    """HF semantics window only layers >= max_window_layers; the loader
+    handles the degenerate cases exactly (mwl >= L -> fully off, mwl == 0
+    -> fully on) and rejects a genuinely mixed stack, which has no
+    matching kernel window_pattern."""
+    import pytest
+    from clusterfusion_tpu.models.checkpoint import _hf_window
+
+    base = {"sliding_window": 64, "use_sliding_window": True,
+            "num_hidden_layers": 8}
+    assert _hf_window(base) == 64                       # no mwl key
+    assert _hf_window({**base, "max_window_layers": 0}) == 64
+    assert _hf_window({**base, "max_window_layers": 8}) == 0   # all full
+    assert _hf_window({**base, "max_window_layers": 12}) == 0
+    assert _hf_window({**base, "use_sliding_window": False,
+                       "max_window_layers": 4}) == 0    # gate wins
+    assert _hf_window({**base, "sliding_window": None}) == 0
+    with pytest.raises(NotImplementedError):
+        _hf_window({**base, "max_window_layers": 4})    # mixed stack
